@@ -1,0 +1,540 @@
+"""Wavefront intersection kernels.
+
+Replaces the reference's recursive `Hit::test` descent over trait objects
+(reference: src/object/list.rs:58-74 and friends) with typed, fully
+vectorized ray-vs-table tests:
+
+  * spheres / planes: `lax.scan` over primitive chunks with a running
+    closest-hit carry — O(N_rays x chunk) VMEM footprint, no (N, P)
+    materialization.
+  * triangles: stackless traversal of a flat threaded BVH (skip links),
+    every lane advancing one node per step; leaves are fixed-size
+    (LEAF_SIZE) runs of degenerate-padded triangles so leaf processing is
+    branch-free and unrolled.
+  * volumes / sky / sun: analytic, evaluated after surfaces (see
+    `intersect` for the exact reference-ordering argument).
+
+Returned hits carry (t, kind, prim); `hit_attributes` then gathers the
+winning primitive's data and computes the differentiable hit record
+(position, normal, uv, tangent frame).  Discrete ids are integers and act
+as detached decisions; geometry recomputed from gathered arrays keeps the
+chain differentiable w.r.t. scene parameters.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core import math as vmath
+from ..core import rng
+from ..scene import pack as sp
+
+# t used for sun hits (reference: sun.rs uses f64::MAX so the sun occludes
+# the sky at t = INFINITY but loses to any finite surface hit).
+T_SUN = 3.0e38
+# Epsilon guarding near-parallel plane/triangle hits.  The reference uses
+# f64::EPSILON (plane.rs:76, mesh.rs:79); in f32 we use a tiny absolute
+# threshold — dets below this are degenerate either way.
+DET_EPS = 1e-12
+
+PRIM_CHUNK = 32   # primitives per scan step for sphere/plane loops
+LEAF_SIZE = 4     # triangles per (padded) BVH leaf — keep in sync with builder
+
+
+class Hit(NamedTuple):
+    t: jnp.ndarray        # (N,) hit distance (in units of |dir|); inf = miss
+    kind: jnp.ndarray     # (N,) int32 PRIM_* id
+    prim: jnp.ndarray     # (N,) int32 index into the kind's table
+
+
+# ---------------------------------------------------------------------------
+# Sphere / plane closest-hit scans
+# ---------------------------------------------------------------------------
+
+
+def _chunked_argmin(n_prims, init_t, body):
+    """Scan `body(start) -> (t_chunk, idx_chunk)` over primitive chunks,
+    keeping the closest hit per ray.  Static trip count; chunk indices are
+    masked with +inf beyond n_prims."""
+    n_chunks = max(1, -(-n_prims // PRIM_CHUNK))
+
+    def step(carry, start):
+        best_t, best_i = carry
+        t_c, i_c = body(start)  # (N, C), (C,)
+        t_c = jnp.where(t_c < best_t[:, None], t_c, jnp.inf)
+        k = jnp.argmin(t_c, axis=1)
+        t_new = jnp.take_along_axis(t_c, k[:, None], axis=1)[:, 0]
+        better = t_new < best_t
+        best_t = jnp.where(better, t_new, best_t)
+        best_i = jnp.where(better, i_c[k], best_i)
+        return (best_t, best_i), None
+
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * PRIM_CHUNK
+    (best_t, best_i), _ = lax.scan(step, (init_t, jnp.full_like(init_t, -1, jnp.int32)), starts)
+    return best_t, best_i
+
+
+def sphere_hit_t(org, dirn, center, radius, t_min, t_max):
+    """Quadratic ray-sphere test, nearest root in (t_min, t_max)
+    (reference: sphere.rs:40-63).  Broadcasts org (N,1,3) vs center (..,C,3)."""
+    oc = org - center
+    a = vmath.length_squared(dirn)
+    half_b = vmath.dot(dirn, oc)
+    c = vmath.length_squared(oc) - radius * radius
+    disc = half_b * half_b - a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    root1 = (-half_b - sq) / a
+    root2 = (-half_b + sq) / a
+    ok = disc >= 0.0
+    v1 = ok & (root1 > t_min) & (root1 < t_max)
+    v2 = ok & (root2 > t_min) & (root2 < t_max)
+    return jnp.where(v1, root1, jnp.where(v2, root2, jnp.inf))
+
+
+def intersect_spheres(pack: sp.ScenePack, org, dirn, t_min, t_max):
+    n_s = pack.sph_center.shape[0]
+    if n_s == 0:
+        return t_max, jnp.full(org.shape[:-1], -1, jnp.int32)
+
+    a = vmath.length_squared(dirn)[:, None]
+
+    def body(start):
+        idx = start + jnp.arange(PRIM_CHUNK, dtype=jnp.int32)
+        valid = idx < n_s
+        idx_c = jnp.clip(idx, 0, n_s - 1)
+        center = pack.sph_center[idx_c]          # (C, 3)
+        radius = pack.sph_radius[idx_c]          # (C,)
+        oc = org[:, None, :] - center[None, :, :]
+        half_b = jnp.sum(dirn[:, None, :] * oc, axis=-1)
+        c = jnp.sum(oc * oc, axis=-1) - (radius * radius)[None, :]
+        disc = half_b * half_b - a * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        root1 = (-half_b - sq) / a
+        root2 = (-half_b + sq) / a
+        ok = disc >= 0.0
+        v1 = ok & (root1 > t_min[:, None]) & (root1 < t_max[:, None])
+        v2 = ok & (root2 > t_min[:, None]) & (root2 < t_max[:, None])
+        t = jnp.where(v1, root1, jnp.where(v2, root2, jnp.inf))
+        t = jnp.where(valid[None, :], t, jnp.inf)
+        return t, idx
+
+    return _chunked_argmin(n_s, t_max, body)
+
+
+def plane_hit(org, dirn, corner, uhalf, vhalf, normal, backface, t_min, t_max):
+    """Finite-parallelogram test (reference: plane.rs:66-101).
+
+    Returns (t, u, v) with t = inf on miss; u, v in [0, 1] across the full
+    2u x 2v span.  Shapes broadcast: ray (N, 1, 3) vs plane (1, C, 3).
+    """
+    dot_rn = jnp.sum(normal * dirn, axis=-1)
+    dd = jnp.where(backface, jnp.abs(dot_rn), -dot_rn)
+    facing = dd > DET_EPS
+    t = jnp.sum(normal * (corner - org), axis=-1) / dot_rn
+    in_t = (t > t_min) & (t < t_max)
+    pos = org + dirn * t[..., None]
+    local = pos - corner
+    # u = local . uhalf / (2 |uhalf|^2)  (reference inv_u, plane.rs:56)
+    u = jnp.sum(local * uhalf, axis=-1) / (2.0 * jnp.sum(uhalf * uhalf, axis=-1))
+    v = jnp.sum(local * vhalf, axis=-1) / (2.0 * jnp.sum(vhalf * vhalf, axis=-1))
+    in_uv = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0)
+    hit = facing & in_t & in_uv
+    return jnp.where(hit, t, jnp.inf), u, v
+
+
+def intersect_planes(pack: sp.ScenePack, org, dirn, t_min, t_max):
+    n_p = pack.pln_corner.shape[0]
+    if n_p == 0:
+        return t_max, jnp.full(org.shape[:-1], -1, jnp.int32)
+
+    def body(start):
+        idx = start + jnp.arange(PRIM_CHUNK, dtype=jnp.int32)
+        valid = idx < n_p
+        idx_c = jnp.clip(idx, 0, n_p - 1)
+        t, _, _ = plane_hit(
+            org[:, None, :], dirn[:, None, :],
+            pack.pln_corner[idx_c][None], pack.pln_uhalf[idx_c][None],
+            pack.pln_vhalf[idx_c][None], pack.pln_normal[idx_c][None],
+            pack.pln_backface[idx_c][None],
+            t_min[:, None], t_max[:, None],
+        )
+        return jnp.where(valid[None, :], t, jnp.inf), idx
+
+    return _chunked_argmin(n_p, t_max, body)
+
+
+# ---------------------------------------------------------------------------
+# Triangles: Möller–Trumbore + threaded-BVH traversal
+# ---------------------------------------------------------------------------
+
+
+def triangle_hit(org, dirn, v0, e1, e2, hit_back, t_min, t_max):
+    """Möller–Trumbore with Cramer barycentrics (reference: mesh.rs:61-101).
+
+    Returns (t, u, v); t = inf on miss.  Degenerate (zero-edge) padding
+    triangles produce det = 0 and never hit.
+    """
+    pvec = jnp.cross(dirn, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    dd = jnp.where(hit_back, jnp.abs(det), det)
+    ok = dd > DET_EPS
+    inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    b = org - v0
+    u = jnp.sum(b * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(b, e1)
+    v = jnp.sum(dirn * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    ok &= (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (u + v <= 1.0)
+    ok &= (t > t_min) & (t < t_max)
+    return jnp.where(ok, t, jnp.inf), u, v
+
+
+def intersect_triangles(pack: sp.ScenePack, org, dirn, t_min, t_max):
+    """Stackless traversal of the threaded flat BVH.
+
+    Every ray carries a single `node` cursor; one while_loop step per ray
+    per visited node: AABB slab test decides hit_link vs miss_link, and if
+    the node is a leaf its LEAF_SIZE (padded) triangles are tested unrolled.
+    Terminates when every lane has reached the sentinel (node_count).
+    """
+    n_nodes = pack.bvh_min.shape[0]
+    n_tris = pack.tri_v0.shape[0]
+    if n_tris == 0 or n_nodes == 0:
+        return t_max, jnp.full(org.shape[:-1], -1, jnp.int32)
+
+    n = org.shape[0]
+    inv_dir = 1.0 / dirn  # inf on zero components — IEEE slab test handles it
+
+    def cond(state):
+        node, best_t, best_i = state
+        return jnp.any(node < n_nodes)
+
+    def body(state):
+        node, best_t, best_i = state
+        active = node < n_nodes
+        nidx = jnp.where(active, node, 0)
+
+        bmin = pack.bvh_min[nidx]
+        bmax = pack.bvh_max[nidx]
+        t0 = (bmin - org) * inv_dir
+        t1 = (bmax - org) * inv_dir
+        near = jnp.minimum(t0, t1)
+        far = jnp.maximum(t0, t1)
+        t_near = jnp.maximum(jnp.max(near, axis=-1), t_min)
+        t_far = jnp.minimum(jnp.min(far, axis=-1), best_t)
+        box_hit = t_near <= t_far
+
+        leaf_start = pack.bvh_leaf_start[nidx]
+        is_leaf = box_hit & (leaf_start >= 0)
+
+        # Leaf: test LEAF_SIZE triangles, unrolled.
+        start = jnp.where(is_leaf, leaf_start, 0)
+        for k in range(LEAF_SIZE):
+            ti = jnp.clip(start + k, 0, n_tris - 1)
+            t, _, _ = triangle_hit(
+                org, dirn,
+                pack.tri_v0[ti], pack.tri_e1[ti], pack.tri_e2[ti],
+                pack.tri_hit_back[ti], t_min, best_t,
+            )
+            better = is_leaf & (t < best_t)
+            best_t = jnp.where(better, t, best_t)
+            best_i = jnp.where(better, ti, best_i)
+
+        next_node = jnp.where(
+            box_hit & (leaf_start < 0),
+            pack.bvh_hit_link[nidx],
+            pack.bvh_miss_link[nidx],
+        )
+        node = jnp.where(active, next_node, node)
+        return node, best_t, best_i
+
+    node0 = jnp.zeros((n,), jnp.int32)
+    best_i0 = jnp.full((n,), -1, jnp.int32)
+    _, best_t, best_i = lax.while_loop(cond, body, (node0, t_max, best_i0))
+    return best_t, best_i
+
+
+# ---------------------------------------------------------------------------
+# Volumes (reference: object/volume.rs)
+# ---------------------------------------------------------------------------
+
+
+def _volume_boundary_span(pack: sp.ScenePack, org, dirn, vi):
+    """Entry/exit t of ray vs. the (convex) boundary of volume vi: sphere or
+    oriented box.  Returns (t_enter, t_exit, valid)."""
+    kind = pack.vol_kind[vi]
+    center = pack.vol_center[vi]
+    # sphere span
+    oc = org - center
+    a = vmath.length_squared(dirn)
+    half_b = vmath.dot(dirn, oc)
+    r = pack.vol_radius[vi]
+    c = vmath.length_squared(oc) - r * r
+    disc = half_b * half_b - a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    s_enter = (-half_b - sq) / a
+    s_exit = (-half_b + sq) / a
+    s_valid = disc > 0.0
+
+    # oriented-box span: rotate into local frame, slab test
+    axes = pack.vol_axes[vi]  # (3, 3) world->local rows
+    lo_org = jnp.einsum("ij,j->i", axes, org - center)
+    lo_dir = jnp.einsum("ij,j->i", axes, dirn)
+    half = pack.vol_halfsize[vi]
+    inv = 1.0 / lo_dir
+    t0 = (-half - lo_org) * inv
+    t1 = (half - lo_org) * inv
+    b_enter = jnp.max(jnp.minimum(t0, t1))
+    b_exit = jnp.min(jnp.maximum(t0, t1))
+    b_valid = b_enter < b_exit
+
+    is_sphere = kind == sp.VOL_SPHERE
+    t_enter = jnp.where(is_sphere, s_enter, b_enter)
+    t_exit = jnp.where(is_sphere, s_exit, b_exit)
+    valid = jnp.where(is_sphere, s_valid, b_valid)
+    return t_enter, t_exit, valid
+
+
+def intersect_volumes(pack: sp.ScenePack, org, dirn, t_min, t_max, rng_ctx):
+    """Stochastic constant-density media (reference: volume.rs:33-71).
+
+    Surfaces must already have bounded t_max so free-flight sampling is
+    truncated at the nearest surface — equivalent to the reference's
+    shrinking-interval list scan for non-nested media, and strictly more
+    correct when a surface precedes the volume in list order.
+    """
+    n_v = pack.vol_kind.shape[0]
+    if n_v == 0:
+        return t_max, jnp.full(org.shape[:-1], -1, jnp.int32)
+
+    ray_len = vmath.length(dirn)
+    best_t = t_max
+    best_i = jnp.full(org.shape[:-1], -1, jnp.int32)
+    span = jax.vmap(_volume_boundary_span, in_axes=(None, 0, 0, None))
+    for vi in range(n_v):  # volumes are few; unrolled
+        t_enter, t_exit, valid = span(pack, org, dirn, vi)
+        lo = jnp.maximum(jnp.maximum(t_enter, t_min), 0.0)
+        hi = jnp.minimum(t_exit, best_t)
+        inside = valid & (lo < hi)
+        dist_inside = (hi - lo) * ray_len
+        u = rng_ctx.uniform(rng.Streams.VOLUME + 16 * vi)
+        hit_dist = pack.vol_neg_inv_density[vi] * jnp.log(jnp.maximum(u, 1e-30))
+        t = lo + hit_dist / ray_len
+        hit = inside & (hit_dist <= dist_inside)
+        best_i = jnp.where(hit, vi, best_i)
+        best_t = jnp.where(hit, t, best_t)
+    return best_t, best_i
+
+
+# ---------------------------------------------------------------------------
+# Sun / sky / full-scene dispatch
+# ---------------------------------------------------------------------------
+
+SUN_THETA_MAX = 1e-3  # reference: sun.rs:14
+
+
+def intersect(pack: sp.ScenePack, org, dirn, t_min, rng_ctx) -> Hit:
+    """Closest hit across all primitive classes.
+
+    Ordering semantics match the reference's ObjectList scan with shrinking
+    intervals: finite surface hits beat volumes' truncated free-flight
+    samples, sun (t = MAX) beats sky (t = INF), and sky "hits" whenever
+    nothing else does (sky.rs:29-33: t=INF accepted only while the interval
+    is still unbounded).
+    """
+    n = org.shape[0]
+    inf = jnp.full((n,), jnp.inf, org.dtype)
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, org.dtype), (n,))
+
+    t_sph, i_sph = intersect_spheres(pack, org, dirn, t_min, inf)
+    t_pln, i_pln = intersect_planes(pack, org, dirn, t_min, inf)
+    t_tri, i_tri = intersect_triangles(pack, org, dirn, t_min, inf)
+
+    # closest surface
+    t_best = jnp.minimum(jnp.minimum(t_sph, t_pln), t_tri)
+    kind = jnp.where(
+        t_sph <= t_best, sp.PRIM_SPHERE,
+        jnp.where(t_pln <= t_best, sp.PRIM_PLANE, sp.PRIM_TRIANGLE),
+    ).astype(jnp.int32)
+    prim = jnp.where(
+        t_sph <= t_best, i_sph, jnp.where(t_pln <= t_best, i_pln, i_tri)
+    )
+    kind = jnp.where(jnp.isfinite(t_best), kind, sp.PRIM_NONE)
+    prim = jnp.where(jnp.isfinite(t_best), prim, -1)
+
+    # volumes, truncated by nearest surface
+    t_vol, i_vol = intersect_volumes(pack, org, dirn, t_min, t_best, rng_ctx)
+    vol_hit = i_vol >= 0
+    t_best = jnp.where(vol_hit, t_vol, t_best)
+    kind = jnp.where(vol_hit, sp.PRIM_VOLUME, kind)
+    prim = jnp.where(vol_hit, i_vol, prim)
+
+    # sun: only when no finite hit and direction within the cone
+    n_sun = pack.sun_dir.shape[0]
+    if n_sun:
+        unit_d = vmath.normalize(dirn)
+        miss = ~jnp.isfinite(t_best)
+        for ui in range(n_sun):
+            in_cone = jnp.abs(vmath.dot(unit_d, pack.sun_dir[ui]) - 1.0) <= SUN_THETA_MAX
+            take = miss & in_cone
+            t_best = jnp.where(take, T_SUN, t_best)
+            kind = jnp.where(take, sp.PRIM_SUN, kind)
+            prim = jnp.where(take, ui, prim)
+            miss = miss & ~take
+
+    # sky: catches everything still unbounded (last sky wins ties, matching
+    # the reference list-scan replacement semantics)
+    n_sky = pack.sky_tex.shape[0]
+    if n_sky:
+        miss = ~jnp.isfinite(t_best)
+        kind = jnp.where(miss, sp.PRIM_SKY, kind)
+        prim = jnp.where(miss, n_sky - 1, prim)
+        t_best = jnp.where(miss, jnp.inf, t_best)
+
+    return Hit(t=t_best, kind=kind, prim=prim)
+
+
+class HitAttributes(NamedTuple):
+    pos: jnp.ndarray         # (N, 3) hit position (finite pseudo-pos for sky/sun)
+    normal: jnp.ndarray      # (N, 3) shading normal, flipped toward the ray
+    tangent: jnp.ndarray     # (N, 3)
+    bitangent: jnp.ndarray   # (N, 3)
+    uv: jnp.ndarray          # (N, 2)
+    front_face: jnp.ndarray  # (N,) bool
+    mat: jnp.ndarray         # (N,) int32 material id (0 if miss)
+    valid: jnp.ndarray       # (N,) bool — there was a hit
+
+
+def hit_attributes(pack: sp.ScenePack, org, dirn, hit: Hit) -> HitAttributes:
+    """Gather the winning primitive and compute the full hit record
+    (reference: HitRecord, object.rs:32-105).  Integer ids act as detached
+    sampling decisions; the gathered geometry stays differentiable."""
+    n = org.shape[0]
+    dtype = org.dtype
+    prim = jnp.maximum(hit.prim, 0)
+    # finite evaluation t: sky/sun use t=1 (direction-only shading)
+    env = (hit.kind == sp.PRIM_SKY) | (hit.kind == sp.PRIM_SUN)
+    t_eval = jnp.where(env | ~jnp.isfinite(hit.t), 1.0, hit.t)
+    pos = org + dirn * t_eval[:, None]
+    unit_d = vmath.normalize(dirn)
+
+    normal = jnp.zeros((n, 3), dtype)
+    tangent = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], dtype), (n, 3))
+    bitangent = tangent
+    uv = jnp.zeros((n, 2), dtype)
+    mat = jnp.zeros((n,), jnp.int32)
+
+    # --- sphere attributes (reference: sphere.rs:65-94) ---
+    if pack.sph_center.shape[0]:
+        sc = pack.sph_center[prim]
+        sr = pack.sph_radius[prim]
+        s_n = (pos - sc) / sr[:, None]
+        theta = jnp.arccos(jnp.clip(s_n[:, 1], -1.0, 1.0))
+        phi = jnp.arctan2(-s_n[:, 2], s_n[:, 0]) + jnp.pi
+        s_uv = jnp.stack([phi / (2.0 * jnp.pi), theta / jnp.pi], axis=-1)
+        s_tan = jnp.stack([-s_n[:, 2], jnp.zeros((n,), dtype), -s_n[:, 0]], axis=-1)
+        s_bit = jnp.cross(s_n, s_tan)
+        is_s = (hit.kind == sp.PRIM_SPHERE)[:, None]
+        normal = jnp.where(is_s, s_n, normal)
+        tangent = jnp.where(is_s, s_tan, tangent)
+        bitangent = jnp.where(is_s, s_bit, bitangent)
+        uv = jnp.where(is_s, s_uv, uv)
+        mat = jnp.where(is_s[:, 0], pack.sph_mat[prim], mat)
+
+    # --- plane attributes (reference: plane.rs:85-101) ---
+    if pack.pln_corner.shape[0]:
+        cor = pack.pln_corner[prim]
+        uh = pack.pln_uhalf[prim]
+        vh = pack.pln_vhalf[prim]
+        local = pos - cor
+        pu = vmath.dot(local, uh) / (2.0 * vmath.length_squared(uh))
+        pv = vmath.dot(local, vh) / (2.0 * vmath.length_squared(vh))
+        is_p = (hit.kind == sp.PRIM_PLANE)[:, None]
+        normal = jnp.where(is_p, pack.pln_normal[prim], normal)
+        tangent = jnp.where(is_p, vmath.normalize(uh, 1e-20), tangent)
+        bitangent = jnp.where(is_p, vmath.normalize(vh, 1e-20), bitangent)
+        uv = jnp.where(is_p, jnp.stack([pu, pv], axis=-1), uv)
+        mat = jnp.where(is_p[:, 0], pack.pln_mat[prim], mat)
+
+    # --- triangle attributes (reference: mesh.rs:101-163) ---
+    if pack.tri_v0.shape[0]:
+        v0 = pack.tri_v0[prim]
+        e1 = pack.tri_e1[prim]
+        e2 = pack.tri_e2[prim]
+        # recompute barycentrics for the winning triangle (differentiable)
+        pvec = jnp.cross(dirn, e2)
+        det = jnp.sum(e1 * pvec, axis=-1)
+        inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+        bvec = org - v0
+        bu = jnp.sum(bvec * pvec, axis=-1) * inv_det
+        qvec = jnp.cross(bvec, e1)
+        bv = jnp.sum(dirn * qvec, axis=-1) * inv_det
+        bw = 1.0 - bu - bv
+        # interpolated shading normal — NOT renormalized, matching
+        # mesh.rs:107-117 (flat shading bakes face normals into n0=n1=n2)
+        t_n = (
+            pack.tri_n0[prim] * bw[:, None]
+            + pack.tri_n1[prim] * bu[:, None]
+            + pack.tri_n2[prim] * bv[:, None]
+        )
+        uv0 = pack.tri_uv0[prim]
+        uv1 = pack.tri_uv1[prim]
+        uv2 = pack.tri_uv2[prim]
+        t_uv = uv0 * bw[:, None] + uv1 * bu[:, None] + uv2 * bv[:, None]
+        # tangent frame from UV deltas (mesh.rs:129-151, thetenthplanet.de)
+        duv1 = uv1 - uv0
+        duv2 = uv2 - uv0
+        e1perp = jnp.cross(t_n, e1)
+        e2perp = jnp.cross(e2, t_n)
+        tan = e2perp * duv1[:, 0:1] + e1perp * duv2[:, 0:1]
+        bit = e2perp * duv1[:, 1:2] + e1perp * duv2[:, 1:2]
+        inv_max = 1.0 / jnp.sqrt(
+            jnp.maximum(
+                jnp.maximum(vmath.length_squared(tan), vmath.length_squared(bit)),
+                1e-30,
+            )
+        )
+        has_uv = pack.tri_has_uv[prim]
+        t_tan = jnp.where(has_uv[:, None], tan * (-inv_max)[:, None], tangent)
+        t_bit = jnp.where(has_uv[:, None], bit * inv_max[:, None], tangent)
+        t_uv = jnp.where(has_uv[:, None], t_uv, 0.0)
+        is_t = (hit.kind == sp.PRIM_TRIANGLE)[:, None]
+        normal = jnp.where(is_t, t_n, normal)
+        tangent = jnp.where(is_t, t_tan, tangent)
+        bitangent = jnp.where(is_t, t_bit, bitangent)
+        uv = jnp.where(is_t, t_uv, uv)
+        mat = jnp.where(is_t[:, 0], pack.tri_mat[prim], mat)
+
+    # --- volume attributes (reference: volume.rs:56-66: arbitrary
+    #     normal/uv; isotropic ignores them) ---
+    if pack.vol_kind.shape[0]:
+        is_v = hit.kind == sp.PRIM_VOLUME
+        normal = jnp.where(is_v[:, None], jnp.array([1.0, 0.0, 0.0], dtype), normal)
+        mat = jnp.where(is_v, pack.vol_mat[prim], mat)
+
+    # --- sky attributes (reference: sky.rs:36-52) ---
+    if pack.sky_tex.shape[0]:
+        is_k = hit.kind == sp.PRIM_SKY
+        k_u = jnp.arctan2(unit_d[:, 0], unit_d[:, 2]) / (2.0 * jnp.pi) + 0.5
+        k_v = unit_d[:, 1] / 2.0 + 0.5
+        normal = jnp.where(is_k[:, None], -unit_d, normal)
+        uv = jnp.where(is_k[:, None], jnp.stack([k_u, k_v], axis=-1), uv)
+
+    # --- sun attributes (reference: sun.rs:47-61) ---
+    if pack.sun_dir.shape[0]:
+        is_u = hit.kind == sp.PRIM_SUN
+        normal = jnp.where(is_u[:, None], -unit_d, normal)
+
+    # front-face flip (reference: object.rs:55-60)
+    front_face = vmath.dot(dirn, normal) < 0.0
+    normal = jnp.where(front_face[:, None], normal, -normal)
+
+    valid = hit.kind != sp.PRIM_NONE
+    return HitAttributes(
+        pos=pos, normal=normal, tangent=tangent, bitangent=bitangent,
+        uv=uv, front_face=front_face, mat=mat, valid=valid,
+    )

@@ -1,0 +1,45 @@
+"""Film: accumulation buffer + image output (reference: src/buffer.rs,
+src/output.rs).
+
+The accumulator is a plain (H, W, 3) float buffer of radiance sums;
+`to_image` divides by sample count, tonemaps (ACES by default, like
+main.rs:81), converts to sRGB and quantizes — the exact output.rs chain.
+PNG writing uses PIL in place of the `image` crate.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import tonemap as tm
+
+
+class Film:
+    def __init__(self, width: int, height: int, dtype=jnp.float32):
+        self.width = width
+        self.height = height
+        self.accum = jnp.zeros((height, width, 3), dtype)
+        self.samples = 0
+
+    def add_samples(self, radiance_sum, n_samples: int):
+        """Add a (H, W, 3) radiance *sum* over n_samples per pixel."""
+        self.accum = self.accum + radiance_sum
+        self.samples += n_samples
+
+    def hdr(self) -> np.ndarray:
+        """Mean radiance per pixel (the reference's post-merge buffer)."""
+        return np.asarray(self.accum) / max(1, self.samples)
+
+    def to_image(self, tonemap: str = "aces") -> np.ndarray:
+        """(H, W, 3) uint8 via tonemap -> sRGB -> quantize (output.rs:23-39)."""
+        color = jnp.asarray(self.hdr())
+        color = tm.TONEMAPS[tonemap](color)
+        color = tm.linear_to_srgb(color)
+        return np.asarray(tm.quantize_u8(color))
+
+    def save(self, path: str, tonemap: str = "aces"):
+        from PIL import Image as PILImage
+
+        img = self.to_image(tonemap)
+        PILImage.fromarray(img, "RGB").save(path)
+        return path

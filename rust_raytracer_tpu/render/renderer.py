@@ -1,0 +1,106 @@
+"""Render orchestration: batches of pixel-samples through the jitted
+integrator, accumulated on a Film.
+
+The reference parallelizes by giving each OS thread the full image at
+spp/threads samples and summing buffers (camera.rs:189-256).  Here the
+(pixel, sample) grid is flattened and chopped into fixed-size device batches
+(static shapes => one XLA compilation); multi-chip rendering shards the same
+batches over a mesh in parallel/mesh.py.  Because the RNG is keyed by
+(pixel, sample), any batching/sharding of the grid produces bit-identical
+images.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import rng as vrng
+from ..scene import compiler as scompiler
+from ..scene import graph as sgraph
+from . import camera as cam
+from . import film as filmmod
+from . import integrator
+
+# Default number of pixel-samples traced per device dispatch.
+DEFAULT_BATCH = 1 << 18
+
+
+class Renderer:
+    def __init__(
+        self,
+        scene: sgraph.SceneDef,
+        camera: cam.Camera,
+        seed: int = 0,
+        dtype=jnp.float32,
+        batch_size: int = DEFAULT_BATCH,
+        mesh: Optional[object] = None,
+    ):
+        self.camera = camera
+        self.seed = seed
+        self.dtype = dtype
+        self.batch_size = batch_size
+        self.mesh = mesh
+        self.pack, self.static = scompiler.compile_scene(scene, dtype)
+
+        static = self.static
+        camera_ref = camera
+
+        def batch_fn(pack, px, py, sample_id, seed):
+            ctx = vrng.Ctx(
+                pixel=py.astype(jnp.uint32) * np.uint32(camera_ref.image_width)
+                + px.astype(jnp.uint32),
+                sample=sample_id.astype(jnp.uint32),
+                bounce=jnp.uint32(0),
+                seed=seed.astype(jnp.uint32),
+            )
+            org, dirn = camera_ref.generate_rays(px, py, sample_id, ctx, dtype)
+            return integrator.trace(
+                pack, static, org, dirn, ctx,
+                camera_ref.max_depth, camera_ref.light_bias,
+            )
+
+        if mesh is not None:
+            from ..parallel import mesh as pmesh
+
+            self._batch_fn = pmesh.shard_batch_fn(batch_fn, mesh)
+        else:
+            self._batch_fn = jax.jit(batch_fn)
+
+    def render(self, spp: Optional[int] = None, progress: bool = False) -> filmmod.Film:
+        """Render the full image: the flattened (pixel, sample) grid is
+        traced in fixed-size batches (one XLA compilation), radiance summed
+        per pixel on device."""
+        camera = self.camera
+        w, h = camera.image_width, camera.image_height
+        total_spp = camera.actual_spp if spp is None else spp
+        film = filmmod.Film(w, h, self.dtype)
+
+        n_pixels = w * h
+        total = n_pixels * total_spp
+        batch = min(self.batch_size, total)
+        seed_arr = jnp.uint32(self.seed)
+
+        accum = jnp.zeros((n_pixels, 3), self.dtype)
+        n_batches = -(-total // batch)
+        for bi in range(n_batches):
+            start = bi * batch
+            # pad the tail batch by wrapping; padded lanes are masked to 0
+            flat = (start + np.arange(batch)) % total
+            # pixel-major, sample-minor: lanes of a batch mostly share pixels
+            pix = flat // total_spp
+            smp = flat % total_spp
+            px = jnp.asarray(pix % w, jnp.uint32)
+            py = jnp.asarray(pix // w, jnp.uint32)
+            sample_id = jnp.asarray(smp, jnp.uint32)
+            rad = self._batch_fn(self.pack, px, py, sample_id, seed_arr)
+            valid = (start + np.arange(batch)) < total
+            rad = jnp.where(jnp.asarray(valid)[:, None], rad, 0.0)
+            accum = accum.at[jnp.asarray(pix)].add(rad)
+            if progress:
+                print(f"batch {bi + 1}/{n_batches}")
+        film.add_samples(accum.reshape(h, w, 3), total_spp)
+        return film
