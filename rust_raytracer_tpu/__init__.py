@@ -20,3 +20,14 @@ Layer map (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Persistent XLA compilation cache: integrator graphs are large and this
+# host has few cores, so cross-process cache hits matter.  Override the
+# location with JAX_COMPILATION_CACHE_DIR; set it empty to disable.
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", _os.path.expanduser("~/.cache/rrt_xla")
+)
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")

@@ -35,12 +35,21 @@ def length(a):
     return jnp.sqrt(length_squared(a))
 
 
+def safe_sqrt(x, eps: float = 1e-20):
+    """sqrt with a clamped argument — keeps reverse-mode gradients finite at
+    x == 0 (the bare sqrt has an infinite derivative there, which poisons
+    `where`-masked lanes with NaN cotangents)."""
+    return jnp.sqrt(jnp.maximum(x, eps))
+
+
 def normalize(a, eps: float = 0.0):
     """Unit vector.  `eps` guards against zero-length (0 keeps exact parity
-    with the reference's `to_unit`, vec4.rs:123-125, which divides blindly)."""
-    n = length(a)
+    with the reference's `to_unit`, vec4.rs:123-125, which divides blindly).
+    The clamp sits *inside* the sqrt so gradients stay finite at ||a|| = 0."""
     if eps:
-        n = jnp.maximum(n, eps)
+        n = jnp.sqrt(jnp.maximum(length_squared(a), eps * eps))
+    else:
+        n = length(a)
     return a / n[..., None]
 
 
@@ -62,9 +71,10 @@ def refract(unit_v, n, ior_ratio):
     cos_theta = jnp.minimum(1.0, dot(-unit_v, n))
     ior_ratio = jnp.asarray(ior_ratio)
     r_perp = (unit_v + n * cos_theta[..., None]) * ior_ratio[..., None]
-    # abs() guards the sqrt against tiny negative values from f32 rounding at
-    # grazing incidence; callers gate on TIR before using the result.
-    r_par = n * (-jnp.sqrt(jnp.abs(1.0 - length_squared(r_perp))))[..., None]
+    # abs + clamp guard the sqrt against tiny negatives from f32 rounding at
+    # grazing incidence (and keep gradients finite); callers gate on TIR
+    # before using the result.
+    r_par = n * (-safe_sqrt(jnp.abs(1.0 - length_squared(r_perp))))[..., None]
     return r_perp + r_par
 
 
@@ -127,7 +137,7 @@ def square_to_unit_circle(u1, u2):
 def square_to_uniform_sphere(u1, u2):
     """Uniform direction on the sphere (reference: vec4.rs:42-48)."""
     z = 1.0 - 2.0 * u1
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    r = safe_sqrt(1.0 - z * z)
     phi = 2.0 * jnp.pi * u2
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
 
@@ -135,10 +145,10 @@ def square_to_uniform_sphere(u1, u2):
 def square_to_cosine_hemisphere(u1, u2):
     """Malley cosine-weighted hemisphere about +z (reference: vec4.rs:50-61)."""
     phi = u1 * 2.0 * jnp.pi
-    sqrt_r2 = jnp.sqrt(u2)
+    sqrt_r2 = safe_sqrt(u2)
     x = jnp.cos(phi) * sqrt_r2
     y = jnp.sin(phi) * sqrt_r2
-    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - u2))
+    z = safe_sqrt(1.0 - u2)
     return jnp.stack([x, y, z], axis=-1)
 
 
@@ -147,5 +157,5 @@ def square_to_sphere_cone(u1, u2, cos_theta_max):
     (reference: sphere.rs:123-145 `random_to_sphere`)."""
     phi = u1 * 2.0 * jnp.pi
     z = 1.0 + u2 * (cos_theta_max - 1.0)
-    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    r = safe_sqrt(1.0 - z * z)
     return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)

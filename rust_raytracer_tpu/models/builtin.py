@@ -252,6 +252,42 @@ def cornell_smoke():
     )
 
 
+@register("cornell_dragon")
+def cornell_dragon():
+    """scenes/cornell_dragon: Cornell box + 870k-tri glossy mesh.
+
+    Uses the real Stanford dragon OBJ if present; the mounted reference
+    strips it (.MISSING_LARGE_BLOBS), so the default is a procedurally
+    generated torus-knot tube with a matched ~870k triangle count.
+    """
+    from ..utils import assets, procgen
+
+    mat_white, walls = _cornell_shell()
+    mat_light = g.Emissive(g.Constant((15.0, 15.0, 15.0)))
+    mat_gloss = g.Glossy(g.Constant((0.73, 0.73, 0.73)), g.Constant(0.0), 1.5)
+
+    floor = g.Plane(
+        (277.5, 0, 277.5), (277.5, 0, 0), (0, 0, -277.5), mat_white
+    )
+    light = g.Plane(
+        (277.5, 554.9, 277.5), (-130, 0, 0), (0, 0, -105), mat_light,
+        render_backface=True,
+    )
+
+    dragon_path = _asset("resource/dragon_high.obj")
+    if os.path.exists(dragon_path):
+        mesh = assets.load_obj(dragon_path, mat_gloss)
+        dragon = g.Transform(mesh).scale(60).rotate_y(225).translate(267.5, 0.5, 277.5)
+    else:
+        mesh = procgen.torus_knot_mesh(mat_gloss)
+        dragon = g.Transform(mesh).scale(110).rotate_y(225).translate(
+            267.5, 200.0, 277.5
+        )
+
+    world = g.Group([floor] + walls + [light, dragon])
+    return g.SceneDef(world=world, lights=[light], config=dict(_CORNELL_CONFIG))
+
+
 @register("tonemap_test")
 def tonemap_test():
     """reference: scene/tonemap_test.rs + scenes/tonemap_test DSL —

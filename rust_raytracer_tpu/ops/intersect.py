@@ -411,14 +411,52 @@ class HitAttributes(NamedTuple):
 
 def hit_attributes(pack: sp.ScenePack, org, dirn, hit: Hit) -> HitAttributes:
     """Gather the winning primitive and compute the full hit record
-    (reference: HitRecord, object.rs:32-105).  Integer ids act as detached
-    sampling decisions; the gathered geometry stays differentiable."""
+    (reference: HitRecord, object.rs:32-105).
+
+    Differentiability contract: the caller stop-gradients `hit` (ids AND t),
+    and this function *recomputes* t for the winning primitive from the
+    gathered geometry, so d(pos)/d(scene params) flows without
+    differentiating the traversal loop.  Volume t stays detached (its
+    free-flight sample is a stochastic decision)."""
     n = org.shape[0]
     dtype = org.dtype
     prim = jnp.maximum(hit.prim, 0)
+    hit_t_detached = jax.lax.stop_gradient(hit.t)
     # finite evaluation t: sky/sun use t=1 (direction-only shading)
     env = (hit.kind == sp.PRIM_SKY) | (hit.kind == sp.PRIM_SUN)
-    t_eval = jnp.where(env | ~jnp.isfinite(hit.t), 1.0, hit.t)
+    t_eval = jnp.where(env | ~jnp.isfinite(hit_t_detached), 1.0, hit_t_detached)
+
+    # --- differentiable t refinement per primitive kind ---
+    if pack.sph_center.shape[0]:
+        sc_ = pack.sph_center[prim]
+        sr_ = pack.sph_radius[prim]
+        oc = org - sc_
+        a_ = vmath.length_squared(dirn)
+        half_b = vmath.dot(dirn, oc)
+        c_ = vmath.length_squared(oc) - sr_ * sr_
+        sq = vmath.safe_sqrt(half_b * half_b - a_ * c_)
+        r1 = (-half_b - sq) / a_
+        r2 = (-half_b + sq) / a_
+        # pick the root the traversal accepted (nearest to the detached t)
+        t_sph = jnp.where(
+            jnp.abs(r1 - t_eval) <= jnp.abs(r2 - t_eval), r1, r2
+        )
+        t_eval = jnp.where(hit.kind == sp.PRIM_SPHERE, t_sph, t_eval)
+    if pack.pln_corner.shape[0]:
+        nrm_ = pack.pln_normal[prim]
+        denom = vmath.dot(nrm_, dirn)
+        t_pln = vmath.dot(nrm_, pack.pln_corner[prim] - org) / jnp.where(
+            denom == 0.0, 1.0, denom
+        )
+        t_eval = jnp.where(hit.kind == sp.PRIM_PLANE, t_pln, t_eval)
+    if pack.tri_v0.shape[0]:
+        e2_ = pack.tri_e2[prim]
+        e1_ = pack.tri_e1[prim]
+        bq = jnp.cross(org - pack.tri_v0[prim], e1_)
+        det_ = jnp.sum(e1_ * jnp.cross(dirn, e2_), axis=-1)
+        t_tri = jnp.sum(e2_ * bq, axis=-1) / jnp.where(det_ == 0.0, 1.0, det_)
+        t_eval = jnp.where(hit.kind == sp.PRIM_TRIANGLE, t_tri, t_eval)
+
     pos = org + dirn * t_eval[:, None]
     unit_d = vmath.normalize(dirn)
 
@@ -433,8 +471,10 @@ def hit_attributes(pack: sp.ScenePack, org, dirn, hit: Hit) -> HitAttributes:
         sc = pack.sph_center[prim]
         sr = pack.sph_radius[prim]
         s_n = (pos - sc) / sr[:, None]
-        theta = jnp.arccos(jnp.clip(s_n[:, 1], -1.0, 1.0))
-        phi = jnp.arctan2(-s_n[:, 2], s_n[:, 0]) + jnp.pi
+        # clips keep arccos/atan2 gradients finite at poles & garbage lanes
+        theta = jnp.arccos(jnp.clip(s_n[:, 1], -1.0 + 1e-7, 1.0 - 1e-7))
+        pole = (jnp.abs(s_n[:, 0]) + jnp.abs(s_n[:, 2])) < 1e-12
+        phi = jnp.arctan2(-s_n[:, 2], jnp.where(pole, 1.0, s_n[:, 0])) + jnp.pi
         s_uv = jnp.stack([phi / (2.0 * jnp.pi), theta / jnp.pi], axis=-1)
         s_tan = jnp.stack([-s_n[:, 2], jnp.zeros((n,), dtype), -s_n[:, 0]], axis=-1)
         s_bit = jnp.cross(s_n, s_tan)
@@ -492,11 +532,9 @@ def hit_attributes(pack: sp.ScenePack, org, dirn, hit: Hit) -> HitAttributes:
         e2perp = jnp.cross(e2, t_n)
         tan = e2perp * duv1[:, 0:1] + e1perp * duv2[:, 0:1]
         bit = e2perp * duv1[:, 1:2] + e1perp * duv2[:, 1:2]
-        inv_max = 1.0 / jnp.sqrt(
-            jnp.maximum(
-                jnp.maximum(vmath.length_squared(tan), vmath.length_squared(bit)),
-                1e-30,
-            )
+        inv_max = 1.0 / vmath.safe_sqrt(
+            jnp.maximum(vmath.length_squared(tan), vmath.length_squared(bit)),
+            1e-20,
         )
         has_uv = pack.tri_has_uv[prim]
         t_tan = jnp.where(has_uv[:, None], tan * (-inv_max)[:, None], tangent)
@@ -519,7 +557,8 @@ def hit_attributes(pack: sp.ScenePack, org, dirn, hit: Hit) -> HitAttributes:
     # --- sky attributes (reference: sky.rs:36-52) ---
     if pack.sky_tex.shape[0]:
         is_k = hit.kind == sp.PRIM_SKY
-        k_u = jnp.arctan2(unit_d[:, 0], unit_d[:, 2]) / (2.0 * jnp.pi) + 0.5
+        kpole = (jnp.abs(unit_d[:, 0]) + jnp.abs(unit_d[:, 2])) < 1e-12
+        k_u = jnp.arctan2(unit_d[:, 0], jnp.where(kpole, 1.0, unit_d[:, 2])) / (2.0 * jnp.pi) + 0.5
         k_v = unit_d[:, 1] / 2.0 + 0.5
         normal = jnp.where(is_k[:, None], -unit_d, normal)
         uv = jnp.where(is_k[:, None], jnp.stack([k_u, k_v], axis=-1), uv)

@@ -35,7 +35,7 @@ def _sphere_pdf_value(pack, li, origin, dirn):
     d2 = vmath.length_squared(center - origin)
     # guard: origin inside the sphere would NaN the sqrt (the reference
     # does too, but only evaluates it after a hit test that can still pass)
-    cos_theta_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - radius * radius / d2))
+    cos_theta_max = vmath.safe_sqrt(1.0 - radius * radius / d2)
     solid_angle = 2.0 * jnp.pi * (1.0 - cos_theta_max)
     return jnp.where(hits & (solid_angle > 0), 1.0 / solid_angle, 0.0)
 
@@ -46,7 +46,7 @@ def _sphere_sample(pack, li, origin, rng_ctx, salt):
     radius = pack.sph_radius[li]
     to_c = center - origin
     d2 = vmath.length_squared(to_c)
-    cos_theta_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - radius * radius / d2))
+    cos_theta_max = vmath.safe_sqrt(1.0 - radius * radius / d2)
     u1, u2, _, _ = rng_ctx.uniform4(rng.Streams.LIGHT_SAMPLE + salt)
     local = vmath.square_to_sphere_cone(u1, u2, cos_theta_max)
     u, v, w = vmath.onb_from_vec(vmath.normalize(to_c, 1e-20))

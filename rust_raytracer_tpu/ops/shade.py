@@ -139,13 +139,14 @@ def shade(
     reflected = vmath.reflect(dirn, spec_n)
     fuzz = _random_unit(rng_ctx, rng.Streams.SPECULAR)
     spec_rough = jnp.where(is_glossy, rough, rough)  # same source; kept explicit
-    fuzzy_dir = reflected + fuzz * (spec_rough * vmath.length(reflected))[:, None]
+    refl_len = vmath.safe_sqrt(vmath.length_squared(reflected))
+    fuzzy_dir = reflected + fuzz * (spec_rough * refl_len)[:, None]
     fuzz_ok = vmath.dot(fuzzy_dir, spec_n) > 0.0
 
     # dielectric (dielectric.rs:30-53)
     di_ratio = jnp.where(attr.front_face, 1.0 / ior, ior)
     di_cos = jnp.minimum(1.0, vmath.dot(-unit_dir, attr.normal))
-    di_sin = jnp.sqrt(jnp.maximum(0.0, 1.0 - di_cos * di_cos))
+    di_sin = vmath.safe_sqrt(1.0 - di_cos * di_cos)
     tir = di_ratio * di_sin > 1.0
     di_reflect = tir | (vmath.reflectance(di_cos, di_ratio) > u_fresnel)
     di_dir = jnp.where(

@@ -1,0 +1,79 @@
+"""Device-mesh sharding for rendering and training.
+
+The reference's only parallelism is sample-space data parallelism over OS
+threads with a final buffer sum (camera.rs:189-256).  TPU-natively the same
+decomposition becomes: shard the flattened (pixel, sample) lane axis over a
+1-D "dp" mesh with shard_map, replicate the ScenePack in every chip's HBM,
+and let the host (or a psum, for fused losses) reduce radiance.  Because the
+RNG is counter-based on (pixel, sample), any sharding yields bit-identical
+radiance per lane — the property the reference lacks (thread_rng seeding).
+
+Scaling contract: lanes are embarrassingly parallel (no cross-lane ops in
+the integrator), so ICI traffic is zero during tracing; gradients of fused
+losses all-reduce with a single psum at the end.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return jax.make_mesh((len(devices),), (axis,), devices=devices)
+
+
+def shard_batch_fn(batch_fn, mesh: Mesh, axis: str = "dp"):
+    """Wrap a per-lane batch function (pack, px, py, sample, seed) -> rad
+    with shard_map over the lane axis: scene replicated, lanes sharded."""
+
+    sharded = jax.shard_map(
+        batch_fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def train_step_fn(batch_fn, loss_of_radiance, mesh: Mesh, axis: str = "dp"):
+    """Build a sharded differentiable render step: per-shard loss + grads
+    w.r.t. the ScenePack, psum-reduced over the mesh (the all-reduce the
+    reference's thread-join performs on framebuffers, camera.rs:243-255)."""
+
+    def local_step(pack, px, py, sample, seed, target):
+        # differentiate w.r.t. the float leaves only (geometry, materials,
+        # textures); integer tables (ids, links) are structure
+        float_leaves, treedef = jax.tree_util.tree_flatten(pack)
+        is_float = [l.dtype.kind == "f" for l in float_leaves]
+
+        def loss_fn(diff_leaves):
+            leaves = []
+            di = iter(diff_leaves)
+            for leaf, isf in zip(float_leaves, is_float):
+                leaves.append(next(di) if isf else leaf)
+            p = jax.tree_util.tree_unflatten(treedef, leaves)
+            rad = batch_fn(p, px, py, sample, seed)
+            return loss_of_radiance(rad, target)
+
+        diff_in = [l for l, isf in zip(float_leaves, is_float) if isf]
+        loss, grads = jax.value_and_grad(loss_fn)(diff_in)
+        loss = jax.lax.psum(loss, axis)
+        grads = jax.lax.psum(grads, axis)
+        return loss, grads
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

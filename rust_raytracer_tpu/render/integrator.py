@@ -51,6 +51,9 @@ def trace(
         ctx = rng_ctx.at_bounce(depth)
 
         hit = isect.intersect(pack, org, dirn, T_MIN, ctx)
+        # detach traversal decisions (ids + raw t); hit_attributes recomputes
+        # t differentiably, keeping the BVH while_loop out of the AD graph
+        hit = jax.tree_util.tree_map(lax.stop_gradient, hit)
         attr = isect.hit_attributes(pack, org, dirn, hit)
 
         # texture program over this wavefront's shading points
