@@ -129,9 +129,11 @@ def eval_program(program, tex_data, uv, pos):
             val = jnp.broadcast_to(jnp.asarray(node.value, dtype), (n, 3))
         elif node.kind == CHECKER:
             # iu = (u * 2 / scale) as u32 — rust `as u32` truncates toward 0
-            # and saturates negatives to 0; match with clip+trunc.
-            iu = jnp.clip(uv[..., 0] * 2.0 / node.scale, 0, 2**31).astype(jnp.uint32)
-            iv = jnp.clip(uv[..., 1] * 2.0 / node.scale, 0, 2**31).astype(jnp.uint32)
+            # and saturates negatives to 0; match with clip+trunc.  The upper
+            # clip must be a float (2**31 as a Python int overflows the i32
+            # weak-type lattice on TPU); 2^31 is plenty for uv checkers.
+            iu = jnp.clip(uv[..., 0] * 2.0 / node.scale, 0.0, 2.0**31).astype(jnp.uint32)
+            iv = jnp.clip(uv[..., 1] * 2.0 / node.scale, 0.0, 2.0**31).astype(jnp.uint32)
             even = ((iu + iv) % 2 == 0)[..., None]
             val = jnp.where(even, values[node.children[0]], values[node.children[1]])
         elif node.kind == CHECKER_SOLID:

@@ -56,8 +56,24 @@ def _morton3(x: np.ndarray) -> np.ndarray:
 
 
 def build(tri_min: np.ndarray, tri_max: np.ndarray) -> FlatBVH:
-    """Build the threaded flat BVH from per-triangle AABBs (T, 3) each."""
+    """Build the threaded flat BVH from per-triangle AABBs (T, 3) each.
+
+    Prefers the native binned-SAH builder (native/bvh.cc) — much higher
+    traversal quality than this NumPy Morton complete-tree fallback."""
     t = tri_min.shape[0]
+    if t > 0:
+        from .. import native
+
+        built = (
+            native.build_bvh(tri_min, tri_max, LEAF_SIZE)
+            if native.available() else None
+        )
+        if built is not None:
+            node_min, node_max, hit_link, miss_link, leaf_start, order = built
+            return FlatBVH(
+                node_min=node_min, node_max=node_max, hit_link=hit_link,
+                miss_link=miss_link, leaf_start=leaf_start, tri_order=order,
+            )
     if t == 0:
         return FlatBVH(
             node_min=np.zeros((0, 3), np.float32),

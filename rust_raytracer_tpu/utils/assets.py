@@ -31,7 +31,17 @@ def load_obj(path: str, material, flat_shading: bool = False,
 
 def parse_obj(path: str):
     """Parse an OBJ file into (verts(V,3), uvs(U,2), normals(N,3),
-    tris(T,3,3) int32 of (vert, normal, uv) indices, uv=-1 if absent)."""
+    tris(T,3,3) int32 of (vert, normal, uv) indices, uv=-1 if absent).
+
+    Uses the native C++ parser (native/obj.cc) when available; this NumPy
+    path is the fallback and the behavioral reference for tests."""
+    from .. import native
+
+    parsed = native.parse_obj(path) if native.available() else None
+    if parsed is not None:
+        verts, uvs, normals, tris = parsed
+        return verts, uvs, normals, tris
+
     verts = []
     uvs = []
     normals = []

@@ -15,6 +15,9 @@ from rust_raytracer_tpu.render import integrator
 
 
 def _trace_rays(scene, org, dirn, max_depth=8, light_bias=0.25, seed=0):
+    import functools
+    import jax
+
     pack, static = sc.compile_scene(scene)
     n = org.shape[0]
     ctx = vrng.Ctx(
@@ -23,11 +26,14 @@ def _trace_rays(scene, org, dirn, max_depth=8, light_bias=0.25, seed=0):
         bounce=jnp.uint32(0),
         seed=jnp.uint32(seed),
     )
+    traced = jax.jit(
+        functools.partial(integrator.trace, static=static,
+                          max_depth=max_depth, light_bias=light_bias),
+        static_argnames=(),
+    )
     return np.asarray(
-        integrator.trace(
-            pack, static, jnp.asarray(org, jnp.float32),
-            jnp.asarray(dirn, jnp.float32), ctx, max_depth, light_bias,
-        )
+        traced(pack, org=jnp.asarray(org, jnp.float32),
+               dirn=jnp.asarray(dirn, jnp.float32), rng_ctx=ctx)
     )
 
 
