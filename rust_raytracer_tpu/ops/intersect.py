@@ -42,7 +42,7 @@ T_SUN = 3.0e38
 DET_EPS = 1e-12
 
 PRIM_CHUNK = 32   # primitives per scan step for sphere/plane loops
-LEAF_SIZE = 4     # triangles per (padded) BVH leaf — keep in sync with builder
+LEAF_CHUNK = 8    # triangles tested per fori step in the jnp leaf loop
 
 
 class Hit(NamedTuple):
@@ -193,19 +193,40 @@ def triangle_hit(org, dirn, v0, e1, e2, hit_back, t_min, t_max):
     return jnp.where(ok, t, jnp.inf), u, v
 
 
-def intersect_triangles(pack: sp.ScenePack, org, dirn, t_min, t_max):
-    """Stackless traversal of the threaded flat BVH.
+def use_pallas() -> bool:
+    """Route triangle traversal through the Pallas packet kernel on TPU
+    (ops/pallas_intersect.py); the jnp while_loop below is the portable
+    fallback and the correctness oracle on CPU."""
+    import os
 
-    Every ray carries a single `node` cursor; one while_loop step per ray
-    per visited node: AABB slab test decides hit_link vs miss_link, and if
-    the node is a leaf its LEAF_SIZE (padded) triangles are tested unrolled.
-    Terminates when every lane has reached the sentinel (node_count).
+    if os.environ.get("RRT_NO_PALLAS"):
+        return False
+    if os.environ.get("RRT_FORCE_PALLAS"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def intersect_triangles(pack: sp.ScenePack, org, dirn, t_min, t_max):
+    """Closest triangle hit via the cluster BVH.
+
+    TPU: Pallas packet traversal (tile of rays shares one cursor; leaf
+    clusters DMA'd and tested densely).  Fallback: per-lane stackless
+    traversal of the same threaded BVH; leaves loop over their CLUSTER
+    padded triangles in LEAF_CHUNK-sized steps.
     """
     n_nodes = pack.bvh_min.shape[0]
     n_tris = pack.tri_v0.shape[0]
     if n_tris == 0 or n_nodes == 0:
         return t_max, jnp.full(org.shape[:-1], -1, jnp.int32)
 
+    if use_pallas():
+        from . import pallas_intersect as ppi
+
+        return ppi.intersect_triangles_pallas(pack, org, dirn, t_min, t_max)
+
+    from . import pallas_intersect as ppi
+
+    cluster = ppi.CLUSTER
     n = org.shape[0]
     inv_dir = 1.0 / dirn  # inf on zero components — IEEE slab test handles it
 
@@ -231,18 +252,27 @@ def intersect_triangles(pack: sp.ScenePack, org, dirn, t_min, t_max):
         leaf_start = pack.bvh_leaf_start[nidx]
         is_leaf = box_hit & (leaf_start >= 0)
 
-        # Leaf: test LEAF_SIZE triangles, unrolled.
+        # Leaf: loop the cluster's padded triangles in LEAF_CHUNK steps.
         start = jnp.where(is_leaf, leaf_start, 0)
-        for k in range(LEAF_SIZE):
-            ti = jnp.clip(start + k, 0, n_tris - 1)
-            t, _, _ = triangle_hit(
-                org, dirn,
-                pack.tri_v0[ti], pack.tri_e1[ti], pack.tri_e2[ti],
-                pack.tri_hit_back[ti], t_min, best_t,
-            )
-            better = is_leaf & (t < best_t)
-            best_t = jnp.where(better, t, best_t)
-            best_i = jnp.where(better, ti, best_i)
+
+        def leaf_body(k, carry):
+            best_t, best_i = carry
+            base = start + k * LEAF_CHUNK
+            for j in range(LEAF_CHUNK):
+                ti = jnp.clip(base + j, 0, n_tris - 1)
+                t, _, _ = triangle_hit(
+                    org, dirn,
+                    pack.tri_v0[ti], pack.tri_e1[ti], pack.tri_e2[ti],
+                    pack.tri_hit_back[ti], t_min, best_t,
+                )
+                better = is_leaf & (t < best_t)
+                best_t = jnp.where(better, t, best_t)
+                best_i = jnp.where(better, ti, best_i)
+            return best_t, best_i
+
+        best_t, best_i = lax.fori_loop(
+            0, cluster // LEAF_CHUNK, leaf_body, (best_t, best_i)
+        )
 
         next_node = jnp.where(
             box_hit & (leaf_start < 0),
@@ -337,7 +367,7 @@ def intersect_volumes(pack: sp.ScenePack, org, dirn, t_min, t_max, rng_ctx):
 SUN_THETA_MAX = 1e-3  # reference: sun.rs:14
 
 
-def intersect(pack: sp.ScenePack, org, dirn, t_min, rng_ctx) -> Hit:
+def intersect(pack: sp.ScenePack, org, dirn, t_min, rng_ctx, alive=None) -> Hit:
     """Closest hit across all primitive classes.
 
     Ordering semantics match the reference's ObjectList scan with shrinking
@@ -345,6 +375,11 @@ def intersect(pack: sp.ScenePack, org, dirn, t_min, rng_ctx) -> Hit:
     samples, sun (t = MAX) beats sky (t = INF), and sky "hits" whenever
     nothing else does (sky.rs:29-33: t=INF accepted only while the interval
     is still unbounded).
+
+    `alive` (optional bool mask) bounds the triangle traversal's t_max at 0
+    for dead lanes: a fully-dead (compacted) ray packet then exits the BVH
+    at the root instead of re-walking its stale ray.  Dead lanes' results
+    are garbage by contract — the integrator masks them.
     """
     n = org.shape[0]
     inf = jnp.full((n,), jnp.inf, org.dtype)
@@ -352,7 +387,9 @@ def intersect(pack: sp.ScenePack, org, dirn, t_min, rng_ctx) -> Hit:
 
     t_sph, i_sph = intersect_spheres(pack, org, dirn, t_min, inf)
     t_pln, i_pln = intersect_planes(pack, org, dirn, t_min, inf)
-    t_tri, i_tri = intersect_triangles(pack, org, dirn, t_min, inf)
+    tri_tmax = inf if alive is None else jnp.where(alive, jnp.inf, 0.0).astype(org.dtype)
+    t_tri, i_tri = intersect_triangles(pack, org, dirn, t_min, tri_tmax)
+    t_tri = jnp.where(i_tri >= 0, t_tri, jnp.inf)
 
     # closest surface
     t_best = jnp.minimum(jnp.minimum(t_sph, t_pln), t_tri)

@@ -23,8 +23,23 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
+    """1-D device mesh.  Prefers the default backend; if it has fewer than
+    n_devices (e.g. one real chip + a virtual CPU mesh from
+    --xla_force_host_platform_device_count), falls back to a platform that
+    has enough."""
     devices = jax.devices()
+    if n_devices is not None and len(devices) < n_devices:
+        try:
+            cpu = jax.devices("cpu")
+        except RuntimeError:
+            cpu = []
+        if len(cpu) >= n_devices:
+            devices = cpu
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"need {n_devices} devices, have {len(devices)}"
+            )
         devices = devices[:n_devices]
     return jax.make_mesh((len(devices),), (axis,), devices=devices)
 

@@ -55,8 +55,14 @@ def _morton3(x: np.ndarray) -> np.ndarray:
     )
 
 
-def build(tri_min: np.ndarray, tri_max: np.ndarray) -> FlatBVH:
+def build(tri_min: np.ndarray, tri_max: np.ndarray,
+          leaf_size: int = LEAF_SIZE) -> FlatBVH:
     """Build the threaded flat BVH from per-triangle AABBs (T, 3) each.
+
+    Leaves own exactly `leaf_size` padded triangle slots.  The TPU traversal
+    uses cluster-sized leaves (ops/pallas_intersect.CLUSTER): dense
+    ray-tile x triangle-cluster tests beat deep per-lane descent on a
+    vector machine.
 
     Prefers the native binned-SAH builder (native/bvh.cc) — much higher
     traversal quality than this NumPy Morton complete-tree fallback."""
@@ -65,7 +71,7 @@ def build(tri_min: np.ndarray, tri_max: np.ndarray) -> FlatBVH:
         from .. import native
 
         built = (
-            native.build_bvh(tri_min, tri_max, LEAF_SIZE)
+            native.build_bvh(tri_min, tri_max, leaf_size)
             if native.available() else None
         )
         if built is not None:
@@ -89,10 +95,10 @@ def build(tri_min: np.ndarray, tri_max: np.ndarray) -> FlatBVH:
     span = np.maximum(centroid.max(0) - lo, 1e-12)
     order = np.argsort(_morton3((centroid - lo) / span), kind="stable")
 
-    n_leaves = -(-t // LEAF_SIZE)
+    n_leaves = -(-t // leaf_size)
     k = max(0, int(np.ceil(np.log2(max(n_leaves, 1)))))
     n_leaves_pad = 1 << k
-    t_pad = n_leaves_pad * LEAF_SIZE
+    t_pad = n_leaves_pad * leaf_size
 
     tri_order = np.full((t_pad,), -1, np.int64)
     tri_order[:t] = order
@@ -103,8 +109,8 @@ def build(tri_min: np.ndarray, tri_max: np.ndarray) -> FlatBVH:
     slot_max = np.full((t_pad, 3), FAR, np.float32)
     slot_min[:t] = tri_min[order]
     slot_max[:t] = tri_max[order]
-    leaf_min = slot_min.reshape(n_leaves_pad, LEAF_SIZE, 3).min(1)
-    leaf_max = slot_max.reshape(n_leaves_pad, LEAF_SIZE, 3).max(1)
+    leaf_min = slot_min.reshape(n_leaves_pad, leaf_size, 3).min(1)
+    leaf_max = slot_max.reshape(n_leaves_pad, leaf_size, 3).max(1)
 
     # bottom-up AABBs per level: level k = leaves ... level 0 = root
     mins = [leaf_min]
@@ -138,7 +144,7 @@ def build(tri_min: np.ndarray, tri_max: np.ndarray) -> FlatBVH:
         hit_link[pre] = pre + 1  # next node in preorder (first child)
         miss_link[pre] = pre + subtree
         if level == k:
-            leaf_start[pre] = idx * LEAF_SIZE
+            leaf_start[pre] = idx * leaf_size
 
     return FlatBVH(
         node_min=node_min,

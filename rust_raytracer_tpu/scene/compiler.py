@@ -386,9 +386,15 @@ def compile_scene(scene: graph.SceneDef, dtype=jnp.float32):
         uv0, uv1, uv2 = cat("uv0"), cat("uv1"), cat("uv2")
         has_uv, hit_back, tmat = cat("has_uv"), cat("hit_back"), cat("mat")
 
+        from ..ops import pallas_intersect as ppi
+
+        cluster = ppi.CLUSTER
         tri_lo = np.minimum(v0, np.minimum(v0 + e1, v0 + e2)) - 1e-4
         tri_hi = np.maximum(v0, np.maximum(v0 + e1, v0 + e2)) + 1e-4
-        bvh = bvh_builder.build(tri_lo.astype(np.float32), tri_hi.astype(np.float32))
+        bvh = bvh_builder.build(
+            tri_lo.astype(np.float32), tri_hi.astype(np.float32),
+            leaf_size=cluster,
+        )
 
         def reorder(a, fill=0.0):
             out = np.full((len(bvh.tri_order),) + a.shape[1:], fill, a.dtype)
@@ -404,6 +410,30 @@ def compile_scene(scene: graph.SceneDef, dtype=jnp.float32):
         tmat = reorder(tmat, 0)
         bvh_min, bvh_max = bvh.node_min, bvh.node_max
         bvh_hit, bvh_miss, bvh_leaf = bvh.hit_link, bvh.miss_link, bvh.leaf_start
+
+        # --- Pallas mirrors: node rows + cluster-packed geometry blocks ---
+        m = bvh_min.shape[0]
+        bvh_rows = np.zeros((m, 16), np.float32)
+        bvh_rows[:, 0:3] = bvh_min
+        bvh_rows[:, 3:6] = bvh_max
+        bvh_rows[:, 6] = bvh_hit.astype(np.float32)
+        bvh_rows[:, 7] = bvh_miss.astype(np.float32)
+        is_leaf = bvh_leaf >= 0
+        bvh_rows[:, 8] = np.where(is_leaf, bvh_leaf // cluster + 1, 0).astype(
+            np.float32
+        )
+
+        n_clusters = len(bvh.tri_order) // cluster
+        tri_geom = np.zeros(
+            (n_clusters, ppi.GEOM_ROWS, cluster), np.float32
+        )
+        by_cluster = lambda a: a.astype(np.float32).reshape(
+            n_clusters, cluster, -1
+        ).transpose(0, 2, 1)
+        tri_geom[:, 0:3] = by_cluster(v0)
+        tri_geom[:, 3:6] = by_cluster(e1)
+        tri_geom[:, 6:9] = by_cluster(e2)
+        tri_geom[:, 9:10] = by_cluster(hit_back)
     else:
         v0 = e1 = e2 = n0 = n1 = n2 = np.zeros((0, 3))
         uv0 = uv1 = uv2 = np.zeros((0, 2))
@@ -411,6 +441,8 @@ def compile_scene(scene: graph.SceneDef, dtype=jnp.float32):
         tmat = np.zeros((0,), np.int32)
         bvh_min = bvh_max = np.zeros((0, 3), np.float32)
         bvh_hit = bvh_miss = bvh_leaf = np.zeros((0,), np.int32)
+        bvh_rows = np.zeros((0, 16), np.float32)
+        tri_geom = np.zeros((0, 16, 256), np.float32)
 
     # --- volumes ---
     nv = len(c.volumes)
@@ -441,6 +473,8 @@ def compile_scene(scene: graph.SceneDef, dtype=jnp.float32):
         bvh_min=f(bvh_min), bvh_max=f(bvh_max),
         bvh_hit_link=i(bvh_hit), bvh_miss_link=i(bvh_miss),
         bvh_leaf_start=i(bvh_leaf),
+        bvh_rows=jnp.asarray(bvh_rows),
+        tri_geom=jnp.asarray(tri_geom),
         vol_kind=i(vol_kind), vol_center=f(vol_center), vol_radius=f(vol_radius),
         vol_axes=f(vol_axes), vol_halfsize=f(vol_half),
         vol_neg_inv_density=f(vol_nid), vol_mat=i(vol_mat),

@@ -102,6 +102,14 @@ class ScenePack:
     bvh_miss_link: Any  # (M,) int32
     bvh_leaf_start: Any  # (M,) int32, -1 for internal nodes
 
+    # --- Pallas packet-traversal mirrors (ops/pallas_intersect.py):
+    #     bvh_rows packs each node as one f32 row
+    #     [min(3), max(3), hit_link, miss_link, leaf_cluster+1, 0...];
+    #     tri_geom packs each CLUSTER-triangle leaf as a contiguous DMA
+    #     block with rows [v0(3), e1(3), e2(3), hit_back, 0...]. ---
+    bvh_rows: Any       # (M, 16) f32
+    tri_geom: Any       # (n_clusters, 16, CLUSTER) f32
+
     # --- constant-density volumes (reference: object/volume.rs) ---
     vol_kind: Any       # (V,) int32: VOL_SPHERE | VOL_BOX
     vol_center: Any     # (V, 3) sphere center / box center (world)
@@ -159,6 +167,8 @@ def empty_pack(dtype=jnp.float32) -> ScenePack:
         bvh_min=_empty((0, 3), dtype), bvh_max=_empty((0, 3), dtype),
         bvh_hit_link=_empty((0,), i32), bvh_miss_link=_empty((0,), i32),
         bvh_leaf_start=_empty((0,), i32),
+        bvh_rows=_empty((0, 16), jnp.float32),
+        tri_geom=_empty((0, 16, 256), jnp.float32),
         vol_kind=_empty((0,), i32), vol_center=_empty((0, 3), dtype),
         vol_radius=_empty((0,), dtype), vol_axes=_empty((0, 3, 3), dtype),
         vol_halfsize=_empty((0, 3), dtype),

