@@ -387,7 +387,11 @@ def intersect(pack: sp.ScenePack, org, dirn, t_min, rng_ctx, alive=None) -> Hit:
 
     t_sph, i_sph = intersect_spheres(pack, org, dirn, t_min, inf)
     t_pln, i_pln = intersect_planes(pack, org, dirn, t_min, inf)
-    tri_tmax = inf if alive is None else jnp.where(alive, jnp.inf, 0.0).astype(org.dtype)
+    # Bound the BVH walk by the nearest sphere/plane hit: a bounce ray that
+    # terminates on a wall prunes every subtree farther than the wall.
+    tri_tmax = jnp.minimum(t_sph, t_pln)
+    if alive is not None:
+        tri_tmax = jnp.where(alive, tri_tmax, 0.0).astype(org.dtype)
     t_tri, i_tri = intersect_triangles(pack, org, dirn, t_min, tri_tmax)
     t_tri = jnp.where(i_tri >= 0, t_tri, jnp.inf)
 
