@@ -20,11 +20,10 @@ py = jnp.asarray((np.arange(B) // w) % camera.image_height, jnp.uint32)
 seed = jnp.uint32(0)
 
 def bench(fn, label, reps=3):
-    out = fn(); out.block_until_ready()
+    out = np.asarray(fn())
     t0 = time.time()
     for _ in range(reps):
-        out = fn()
-    out.block_until_ready()
+        out = np.asarray(fn())
     dt = (time.time() - t0) / reps
     print(f"{label}: {dt*1e3:.0f} ms -> {B/dt/1e3:.1f}k lanes/s")
     return dt

@@ -194,9 +194,9 @@ def triangle_hit(org, dirn, v0, e1, e2, hit_back, t_min, t_max):
 
 
 def use_pallas() -> bool:
-    """Route triangle traversal through the Pallas packet kernel on TPU
-    (ops/pallas_intersect.py); the jnp while_loop below is the portable
-    fallback and the correctness oracle on CPU."""
+    """Route triangle traversal through a Pallas packet kernel on TPU;
+    the jnp while_loop below is the portable fallback and the correctness
+    oracle on CPU."""
     import os
 
     if os.environ.get("RRT_NO_PALLAS"):
@@ -204,6 +204,20 @@ def use_pallas() -> bool:
     if os.environ.get("RRT_FORCE_PALLAS"):
         return True
     return jax.default_backend() == "tpu"
+
+
+# Geometry bigger than this falls back from the VMEM-resident BVH8 kernel
+# (ops/pallas_bvh8.py) to the DMA-streaming threaded kernel
+# (ops/pallas_intersect.py).  v5e VMEM measured >= 120 MB; leave room for
+# ray blocks, scratch and Mosaic's own buffers.
+_BVH8_VMEM_BUDGET = 100 * 1024 * 1024
+
+
+def _fits_vmem(pack: sp.ScenePack) -> bool:
+    geom = (
+        pack.tri_geom.size + pack.bvh8_aabb.size + pack.bvh8_child.size
+    ) * 4
+    return pack.bvh8_child.shape[0] > 0 and geom <= _BVH8_VMEM_BUDGET
 
 
 def intersect_triangles(pack: sp.ScenePack, org, dirn, t_min, t_max):
@@ -220,6 +234,10 @@ def intersect_triangles(pack: sp.ScenePack, org, dirn, t_min, t_max):
         return t_max, jnp.full(org.shape[:-1], -1, jnp.int32)
 
     if use_pallas():
+        if _fits_vmem(pack):
+            from . import pallas_bvh8 as pb8
+
+            return pb8.intersect_triangles_bvh8(pack, org, dirn, t_min, t_max)
         from . import pallas_intersect as ppi
 
         return ppi.intersect_triangles_pallas(pack, org, dirn, t_min, t_max)

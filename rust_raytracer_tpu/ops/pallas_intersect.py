@@ -41,8 +41,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Triangles per BVH leaf == per DMA'd cluster.  Keep in sync with the scene
-# compiler (it builds the BVH with this leaf size and packs tri_geom).
-CLUSTER = 256
+# compiler (it builds the BVH with this leaf size and packs tri_geom) and
+# with ops/pallas_bvh8.py (the VMEM-resident kernel shares the packing).
+CLUSTER = 128
 # Rays per traversal packet.
 TILE = 128
 # Packets per grid step: ray blocks are (TILES_PER_BLOCK, TILE) — the

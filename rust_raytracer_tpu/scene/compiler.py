@@ -24,7 +24,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops import texture as tex
-from . import bvh_builder, graph
+from . import bvh8, bvh_builder, graph
 from . import pack as sp
 
 
@@ -434,6 +434,10 @@ def compile_scene(scene: graph.SceneDef, dtype=jnp.float32):
         tri_geom[:, 3:6] = by_cluster(e1)
         tri_geom[:, 6:9] = by_cluster(e2)
         tri_geom[:, 9:10] = by_cluster(hit_back)
+
+        # 8-wide collapse for the VMEM-resident packet kernel
+        b8 = bvh8.collapse(bvh, cluster)
+        bvh8_aabb, bvh8_child = b8.aabb8, b8.child8
     else:
         v0 = e1 = e2 = n0 = n1 = n2 = np.zeros((0, 3))
         uv0 = uv1 = uv2 = np.zeros((0, 2))
@@ -442,7 +446,9 @@ def compile_scene(scene: graph.SceneDef, dtype=jnp.float32):
         bvh_min = bvh_max = np.zeros((0, 3), np.float32)
         bvh_hit = bvh_miss = bvh_leaf = np.zeros((0,), np.int32)
         bvh_rows = np.zeros((0, 16), np.float32)
-        tri_geom = np.zeros((0, 16, 256), np.float32)
+        tri_geom = np.zeros((0, 16, 128), np.float32)
+        bvh8_aabb = np.zeros((0, 8, 128), np.float32)
+        bvh8_child = np.zeros((0, 8), np.int32)
 
     # --- volumes ---
     nv = len(c.volumes)
@@ -475,6 +481,8 @@ def compile_scene(scene: graph.SceneDef, dtype=jnp.float32):
         bvh_leaf_start=i(bvh_leaf),
         bvh_rows=jnp.asarray(bvh_rows),
         tri_geom=jnp.asarray(tri_geom),
+        bvh8_aabb=jnp.asarray(bvh8_aabb),
+        bvh8_child=jnp.asarray(bvh8_child),
         vol_kind=i(vol_kind), vol_center=f(vol_center), vol_radius=f(vol_radius),
         vol_axes=f(vol_axes), vol_halfsize=f(vol_half),
         vol_neg_inv_density=f(vol_nid), vol_mat=i(vol_mat),

@@ -110,6 +110,13 @@ class ScenePack:
     bvh_rows: Any       # (M, 16) f32
     tri_geom: Any       # (n_clusters, 16, CLUSTER) f32
 
+    # --- BVH8 tables for the VMEM-resident packet kernel
+    #     (ops/pallas_bvh8.py; built by scene/bvh8.py):
+    #     aabb8[node, child, 0:6] = child AABB (lo_xyz, hi_xyz),
+    #     child8[node, child] = 0 empty | >0 node id | <0 ~cluster id ---
+    bvh8_aabb: Any      # (n8, 8, 128) f32
+    bvh8_child: Any     # (n8, 8) int32
+
     # --- constant-density volumes (reference: object/volume.rs) ---
     vol_kind: Any       # (V,) int32: VOL_SPHERE | VOL_BOX
     vol_center: Any     # (V, 3) sphere center / box center (world)
@@ -168,7 +175,9 @@ def empty_pack(dtype=jnp.float32) -> ScenePack:
         bvh_hit_link=_empty((0,), i32), bvh_miss_link=_empty((0,), i32),
         bvh_leaf_start=_empty((0,), i32),
         bvh_rows=_empty((0, 16), jnp.float32),
-        tri_geom=_empty((0, 16, 256), jnp.float32),
+        tri_geom=_empty((0, 16, 128), jnp.float32),
+        bvh8_aabb=_empty((0, 8, 128), jnp.float32),
+        bvh8_child=_empty((0, 8), jnp.int32),
         vol_kind=_empty((0,), i32), vol_center=_empty((0, 3), dtype),
         vol_radius=_empty((0,), dtype), vol_axes=_empty((0, 3, 3), dtype),
         vol_halfsize=_empty((0, 3), dtype),

@@ -74,3 +74,55 @@ def test_pallas_handles_ragged_batch(soup):
     both = np.asarray(i_ref) >= 0
     np.testing.assert_allclose(np.asarray(t_pal)[both],
                                np.asarray(t_ref)[both], rtol=2e-5, atol=1e-6)
+
+
+def test_bvh8_matches_jnp_traversal(soup):
+    """The VMEM-resident BVH8 kernel (ops/pallas_bvh8.py) against the jnp
+    threaded walk on the same pack."""
+    from rust_raytracer_tpu.ops import pallas_bvh8 as pb8
+
+    n = 384  # 3 packets
+    org, dirn = _rays(n, seed=3)
+    t_min = jnp.full((n,), 1e-3, jnp.float32)
+    t_max = jnp.full((n,), np.inf, jnp.float32)
+
+    t_ref, i_ref = isect.intersect_triangles(soup, org, dirn, t_min, t_max)
+    t_pal, i_pal = pb8.intersect_triangles_bvh8(
+        soup, org, dirn, t_min, t_max, interpret=True
+    )
+
+    t_ref = np.asarray(t_ref)
+    t_pal = np.asarray(t_pal)
+    i_ref = np.asarray(i_ref)
+    i_pal = np.asarray(i_pal)
+
+    hit_ref = np.isfinite(t_ref)
+    hit_pal = i_pal >= 0
+    np.testing.assert_array_equal(hit_ref, hit_pal)
+    np.testing.assert_allclose(t_pal[hit_pal], t_ref[hit_ref], rtol=2e-5,
+                               atol=1e-6)
+    assert (i_pal[hit_pal] == i_ref[hit_ref]).mean() > 0.999
+
+
+def test_bvh8_respects_tmax_and_padding(soup):
+    from rust_raytracer_tpu.ops import pallas_bvh8 as pb8
+
+    n = pb8.TILE + 9  # ragged: exercises the pad path
+    org, dirn = _rays(n, seed=7)
+    t_min = jnp.full((n,), 1e-3, jnp.float32)
+    # finite t_max: half the lanes get a bound below their hit
+    t_ref, i_ref = isect.intersect_triangles(
+        soup, org, dirn, t_min, jnp.full((n,), np.inf, jnp.float32)
+    )
+    t_ref = np.asarray(t_ref)
+    cap = np.where(np.isfinite(t_ref), t_ref * 0.5, 1.0).astype(np.float32)
+    cap[::2] = np.inf
+    t_cap, i_cap = pb8.intersect_triangles_bvh8(
+        soup, org, dirn, t_min, jnp.asarray(cap), interpret=True
+    )
+    i_cap = np.asarray(i_cap)
+    hit = np.isfinite(t_ref)
+    # even lanes unchanged; odd lanes with a cap below the hit must miss
+    np.testing.assert_array_equal(i_cap[::2] >= 0, hit[::2])
+    odd_hit = hit[1::2]
+    assert not np.any(i_cap[1::2][odd_hit] >= 0)
