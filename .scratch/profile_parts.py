@@ -23,11 +23,14 @@ ctx = vrng.Ctx(pixel=jnp.arange(B, dtype=jnp.uint32),
                bounce=jnp.uint32(3), seed=jnp.uint32(0))
 
 def bench(f, label, reps=5):
-    o = f(); jax.tree_util.tree_map(lambda x: x.block_until_ready(), o)
     t0 = time.time()
-    for _ in range(reps): o = f()
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), o)
+    o = f(); jax.tree_util.tree_map(lambda x: np.asarray(x), o)
+    comp = time.time()-t0
+    t0 = time.time()
+    for _ in range(reps):
+        o = f(); jax.tree_util.tree_map(lambda x: np.asarray(x), o)
     dt = (time.time()-t0)/reps
+    print(f"{label}: compile+1st {comp:.1f}s", end="  ")
     print(f"{label}: {dt*1e3:.1f} ms")
     return dt
 
@@ -72,3 +75,7 @@ from functools import partial
 def one_bounce(o, d):
     return integ.trace(pack, static, o, d, ctx, 1, 0.25, compact=False)
 jb = jax.jit(one_bounce); bench(lambda: jb(so, sd), "full bounce (no sort)")
+
+def one_bounce_sorted(o, d):
+    return integ.trace(pack, static, o, d, ctx, 1, 0.25, compact=True)
+jb2 = jax.jit(one_bounce_sorted); bench(lambda: jb2(org_j, dirn_j), "full bounce (with sort)")

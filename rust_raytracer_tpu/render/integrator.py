@@ -49,10 +49,15 @@ def _expand_bits8(v):
     return v
 
 
-def _compaction_key(org, dirn, alive):
+def _compaction_key(org, dirn, alive, dir_bits: int = 3):
     """Sort key: dead lanes last; live lanes grouped by direction octant,
-    then by a 24-bit Morton code of the origin (normalized to this
-    wavefront's bounding box)."""
+    then 2*dir_bits of finer direction quantization (L1-normalized |x|,|y|
+    magnitudes), then a Morton code of the origin (normalized to this
+    wavefront's bounding box).
+
+    Finer direction binning tightens bounce-ray packets for the BVH8
+    traversal's union cost (measured: ~1.4x fewer leaf visits on the
+    bounce-1 cornell_dragon wavefront vs octant-only)."""
     u32 = jnp.uint32
     dead = jnp.where(alive, u32(0), u32(1))
     octant = (
@@ -68,8 +73,53 @@ def _compaction_key(org, dirn, alive):
         | (_expand_bits8(q[:, 1]) << u32(1))
         | _expand_bits8(q[:, 2])
     )
-    # morton occupies bits 0..23; octant 28..30; dead 31
-    return (dead << u32(31)) | (octant << u32(28)) | morton
+    # layout (high to low): dead(1) | octant(3) | dir(2*dir_bits) | morton
+    key = (dead << u32(31)) | (octant << u32(28))
+    if dir_bits > 0:
+        a = jnp.abs(dirn)
+        a = a / jnp.maximum(jnp.sum(a, axis=1, keepdims=True), 1e-20)
+        top = u32((1 << dir_bits) - 1)
+        qx = jnp.clip((a[:, 0] * top).astype(u32), 0, top)
+        qy = jnp.clip((a[:, 1] * top).astype(u32), 0, top)
+        shift = 28 - 2 * dir_bits
+        key |= (qx << u32(shift + dir_bits)) | (qy << u32(shift))
+        key |= morton >> u32(24 - shift)
+    else:
+        key |= morton
+    return key
+
+
+def shade_vertex(pack, static, org, dirn, ctx, light_bias, alive):
+    """One path-vertex evaluation shared by the bounded-loop integrator and
+    the persistent ray pool (render/pool.py): closest hit, texture program,
+    NEE-mixture shading, miss -> background.
+
+    Returns (emission, weight, new_dir, ended, pos):
+      emission (N, 3) — radiance emitted at this vertex (background on miss)
+      weight   (N, 3) — throughput multiplier for the next segment
+      new_dir  (N, 3) — next ray direction
+      ended    (N,)   — path terminates at this vertex (miss/absorb/emissive)
+      pos      (N, 3) — hit position (next ray origin)
+    """
+    hit = isect.intersect(pack, org, dirn, T_MIN, ctx, alive=alive)
+    # detach traversal decisions (ids + raw t); hit_attributes recomputes
+    # t differentiably, keeping the BVH while_loop out of the AD graph
+    hit = jax.tree_util.tree_map(lax.stop_gradient, hit)
+    attr = isect.hit_attributes(pack, org, dirn, hit)
+
+    tex_values = tex.eval_program(
+        static.tex_program, pack.tex_data, attr.uv, attr.pos
+    )
+    res = shd.shade(
+        pack, static.light_list, tex_values, org, dirn, hit, attr,
+        ctx, light_bias,
+    )
+
+    # miss -> background (camera.rs:331), then terminate
+    miss = ~attr.valid
+    emission = jnp.where(miss[:, None], pack.background[None, :], res.emission)
+    ended = res.terminate | miss
+    return emission, res.weight, res.new_dir, ended, attr.pos
 
 
 def trace(
@@ -81,9 +131,18 @@ def trace(
     max_depth: int,
     light_bias: float,
     compact: bool = True,
+    differentiable: bool = False,
 ):
     """Trace a batch of rays to completion; returns (N, 3) radiance in the
-    caller's lane order."""
+    caller's lane order.
+
+    differentiable=False (rendering): the bounce loop is a lax.while_loop
+    with an all-dead early exit — XLA compiles the body once (vs unrolling
+    the bounded fori_loop) and late bounces cost nothing once the wavefront
+    dies.  differentiable=True (training/grad tests): a bounded fori_loop,
+    reverse-mode differentiable by unrolling.  Both run the identical body,
+    so images are bit-identical.
+    """
     n = org.shape[0]
     dtype = org.dtype
 
@@ -103,32 +162,16 @@ def trace(
 
         ctx = vrng.Ctx(pixel=pixel, sample=sample, bounce=depth, seed=seed)
 
-        hit = isect.intersect(pack, org, dirn, T_MIN, ctx, alive=alive)
-        # detach traversal decisions (ids + raw t); hit_attributes recomputes
-        # t differentiably, keeping the BVH while_loop out of the AD graph
-        hit = jax.tree_util.tree_map(lax.stop_gradient, hit)
-        attr = isect.hit_attributes(pack, org, dirn, hit)
-
-        # texture program over this wavefront's shading points
-        tex_values = tex.eval_program(
-            static.tex_program, pack.tex_data, attr.uv, attr.pos
+        emission, weight, next_dir, ended, pos = shade_vertex(
+            pack, static, org, dirn, ctx, light_bias, alive
         )
-
-        res = shd.shade(
-            pack, static.light_list, tex_values, org, dirn, hit, attr,
-            ctx, light_bias,
-        )
-
-        # miss -> background (camera.rs:331), then terminate
-        miss = ~attr.valid
-        emission = jnp.where(miss[:, None], pack.background[None, :], res.emission)
 
         radiance = radiance + throughput * emission * alive[:, None]
-        throughput = throughput * jnp.where(alive[:, None], res.weight, 0.0)
-        alive = alive & ~res.terminate & ~miss
+        throughput = throughput * jnp.where(alive[:, None], weight, 0.0)
+        alive = alive & ~ended
         # keep dead lanes numerically inert
-        new_org = jnp.where(alive[:, None], attr.pos, org)
-        new_dir = jnp.where(alive[:, None], res.new_dir, dirn)
+        new_org = jnp.where(alive[:, None], pos, org)
+        new_dir = jnp.where(alive[:, None], next_dir, dirn)
         return (new_org, new_dir, throughput, radiance, alive, pixel,
                 sample, src)
 
@@ -144,7 +187,18 @@ def trace(
     )
     # depth-0 black cutoff (camera.rs:290-292) is implicit: the loop simply
     # stops contributing after max_depth scatters.
-    state = lax.fori_loop(0, max_depth, bounce_body, state, unroll=False)
+    if differentiable:
+        state = lax.fori_loop(0, max_depth, bounce_body, state, unroll=False)
+    else:
+        def w_cond(c):
+            depth, state = c
+            return (depth < max_depth) & jnp.any(state[4])
+
+        def w_body(c):
+            depth, state = c
+            return depth + 1, bounce_body(depth, state)
+
+        _, state = lax.while_loop(w_cond, w_body, (jnp.uint32(0), state))
     radiance, src = state[3], state[7]
     if compact:
         # scatter back to the caller's lane order

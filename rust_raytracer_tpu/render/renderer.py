@@ -70,7 +70,45 @@ class Renderer:
         else:
             self._batch_fn = jax.jit(batch_fn)
 
-    def render(self, spp: Optional[int] = None, progress: bool = False) -> filmmod.Film:
+    def render(self, spp: Optional[int] = None, progress: bool = False,
+               mode: str = "pool") -> filmmod.Film:
+        """Render the full image.
+
+        mode="pool" (default): persistent ray pool with dead-lane
+        regeneration (render/pool.py) — every step advances a ~full
+        wavefront one bounce, so per-bounce costs are paid only for live
+        paths.  mode="batch": the bounded-loop schedule (each batch of
+        (pixel, sample) lanes traced to max_depth).  Same estimator and
+        RNG streams either way; pixel sums differ only in fp order.
+        """
+        if mode == "pool":
+            return self.render_pool(spp=spp, progress=progress)
+        return self.render_batched(spp=spp, progress=progress)
+
+    def render_pool(self, spp: Optional[int] = None,
+                    progress: bool = False) -> filmmod.Film:
+        from . import pool as poolmod
+
+        camera = self.camera
+        w, h = camera.image_width, camera.image_height
+        total_spp = camera.actual_spp if spp is None else spp
+        n_pixels = w * h
+        n_lanes = min(self.batch_size, n_pixels * total_spp)
+
+        cb = None
+        if progress:
+            def cb(issued, total):
+                print(f"issued {issued}/{total}")
+
+        accum = poolmod.render_pool(
+            self.pack, self.static, camera, n_pixels, total_spp,
+            n_lanes, seed=self.seed, dtype=self.dtype, progress=cb,
+        )
+        film = filmmod.Film(w, h, self.dtype)
+        film.add_samples(jnp.asarray(accum).reshape(h, w, 3), total_spp)
+        return film
+
+    def render_batched(self, spp: Optional[int] = None, progress: bool = False) -> filmmod.Film:
         """Render the full image: the flattened (pixel, sample) grid is
         traced in fixed-size batches (one XLA compilation), radiance summed
         per pixel on device."""
