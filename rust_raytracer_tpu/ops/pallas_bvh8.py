@@ -60,12 +60,14 @@ BIG = 3.4e38
 T_MIN_STATIC = 1e-3  # reference: camera.rs:294 interval lower bound
 
 
-def _kernel(aabb8, child8, ox, oy, oz, dx, dy, dz, tmax_ref,
+def _kernel(aabb8, ox, oy, oz, dx, dy, dz, tmax_ref,
             tri_ref, t_out, i_out):
     """TILES_PER_BLOCK packets of TILE rays vs the BVH8.
 
-    aabb8: (n8, 8, 128) f32 VMEM — [node, child, field(lo_xyz, hi_xyz)].
-    child8: (n8, 8) i32 VMEM — 0 empty, >0 node id, <0 ~cluster id.
+    aabb8: (n8, 8, 128) f32 VMEM — [node, child, lane]: lanes 0-5 the
+      child AABB (lo_xyz, hi_xyz); lane 6 the child id as exact float
+      (0 empty, >0 node, <0 ~cluster); lane 7 of slot o the packed
+      near-first slot permutation for ray octant o (scene/bvh8.py).
     o*/d*/tmax: (TILES_PER_BLOCK, TILE) f32 VMEM ray blocks.
     tri_ref: (n_clusters, GEOM_ROWS, CLUSTER) f32 VMEM.
     t_out/i_out: (TILES_PER_BLOCK, TILE) f32/i32 VMEM outputs.
@@ -184,10 +186,14 @@ def _kernel(aabb8, child8, ox, oy, oz, dx, dy, dz, tmax_ref,
                     bits = jnp.sum(jnp.where(anyc, pow2, 0))
 
                     # push hit children; slot 7 pushed first so slot 0
-                    # (first on the Morton curve) pops first
+                    # (first on the Morton curve) pops first.  (A
+                    # per-octant near-first permutation — still packed in
+                    # lane 7 — was measured ~30% SLOWER here: the extra
+                    # dynamic scalar reads outweigh t-pruning for
+                    # 128-ray union packets.)
                     off = jnp.int32(0)
                     for c in range(7, -1, -1):
-                        child = child8[v, c]
+                        child = aabb8[v, c, 6].astype(jnp.int32)
                         push = (lax.shift_right_logical(
                             bits, jnp.int32(c)) & 1) > 0
                         push &= child != 0
@@ -219,7 +225,7 @@ def _kernel(aabb8, child8, ox, oy, oz, dx, dy, dz, tmax_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _traverse(aabb8, child8, tri_geom, org, dirn, t_max, *, interpret):
+def _traverse(aabb8, tri_geom, org, dirn, t_max, *, interpret):
     """org/dirn: (N, 3) with N a multiple of TILE.  Returns (t, slot)."""
     n = org.shape[0]
     n_tiles = n // TILE
@@ -237,17 +243,14 @@ def _traverse(aabb8, child8, tri_geom, org, dirn, t_max, *, interpret):
     ray_spec = pl.BlockSpec((bt, TILE), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     vmem_bytes = (
-        aabb8.size * 4 + child8.size * 4 + tri_geom.size * 4
+        aabb8.size * 4 + tri_geom.size * 4
         + (2 * bt * TILE * 4) * 10  # ray blocks + outputs, double-buffered
         + (1 << 20)
     )
     t, idx = pl.pallas_call(
         _kernel,
         grid=(n_tiles // bt,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ]
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
         + [ray_spec] * 7
         + [pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=[ray_spec, ray_spec],
@@ -259,7 +262,7 @@ def _traverse(aabb8, child8, tri_geom, org, dirn, t_max, *, interpret):
             vmem_limit_bytes=min(int(vmem_bytes), 127 * 1024 * 1024),
         ),
         interpret=interpret,
-    )(aabb8, child8, *args, tri_geom)
+    )(aabb8, *args, tri_geom)
     return t.reshape(n), idx.reshape(n)
 
 
@@ -283,7 +286,7 @@ def intersect_triangles_bvh8(pack, org, dirn, t_min, t_max,
         t_max = jnp.concatenate([t_max, jnp.zeros((pad,), t_max.dtype)], 0)
 
     t, idx = _traverse(
-        pack.bvh8_aabb, pack.bvh8_child, pack.tri_geom,
+        pack.bvh8_aabb, pack.tri_geom,
         org.astype(jnp.float32), dirn.astype(jnp.float32),
         t_max.astype(jnp.float32),
         interpret=interpret,

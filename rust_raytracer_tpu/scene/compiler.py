@@ -391,15 +391,19 @@ def compile_scene(scene: graph.SceneDef, dtype=jnp.float32):
         cluster = ppi.CLUSTER
         tri_lo = np.minimum(v0, np.minimum(v0 + e1, v0 + e2)) - 1e-4
         tri_hi = np.maximum(v0, np.maximum(v0 + e1, v0 + e2)) + 1e-4
+        # Leaves ARE clusters: binned-SAH leaf boxes stay tight, which
+        # beats fill — packing small leaves into full clusters was
+        # measured 2x MORE union leaf visits (fat run-union boxes).
         bvh = bvh_builder.build(
             tri_lo.astype(np.float32), tri_hi.astype(np.float32),
             leaf_size=cluster,
         )
+        tri_order = bvh.tri_order
 
         def reorder(a, fill=0.0):
-            out = np.full((len(bvh.tri_order),) + a.shape[1:], fill, a.dtype)
-            ok = bvh.tri_order >= 0
-            out[ok] = a[bvh.tri_order[ok]]
+            out = np.full((len(tri_order),) + a.shape[1:], fill, a.dtype)
+            ok = tri_order >= 0
+            out[ok] = a[tri_order[ok]]
             return out
 
         v0, e1, e2 = reorder(v0), reorder(e1), reorder(e2)
@@ -423,7 +427,7 @@ def compile_scene(scene: graph.SceneDef, dtype=jnp.float32):
             np.float32
         )
 
-        n_clusters = len(bvh.tri_order) // cluster
+        n_clusters = len(tri_order) // cluster
         tri_geom = np.zeros(
             (n_clusters, ppi.GEOM_ROWS, cluster), np.float32
         )
@@ -435,7 +439,6 @@ def compile_scene(scene: graph.SceneDef, dtype=jnp.float32):
         tri_geom[:, 6:9] = by_cluster(e2)
         tri_geom[:, 9:10] = by_cluster(hit_back)
 
-        # 8-wide collapse for the VMEM-resident packet kernel
         b8 = bvh8.collapse(bvh, cluster)
         bvh8_aabb, bvh8_child = b8.aabb8, b8.child8
     else:
