@@ -56,11 +56,19 @@ class Hit(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
+def _chunk_size(n_prims: int) -> int:
+    """Chunk width for the sphere/plane scans: no wider than the actual
+    primitive count (padding a 2-sphere scene to a 32-wide chunk costs 16x
+    the vector work for nothing)."""
+    return max(1, min(PRIM_CHUNK, n_prims))
+
+
 def _chunked_argmin(n_prims, init_t, body):
     """Scan `body(start) -> (t_chunk, idx_chunk)` over primitive chunks,
     keeping the closest hit per ray.  Static trip count; chunk indices are
     masked with +inf beyond n_prims."""
-    n_chunks = max(1, -(-n_prims // PRIM_CHUNK))
+    chunk = _chunk_size(n_prims)
+    n_chunks = max(1, -(-n_prims // chunk))
 
     def step(carry, start):
         best_t, best_i = carry
@@ -73,7 +81,7 @@ def _chunked_argmin(n_prims, init_t, body):
         best_i = jnp.where(better, i_c[k], best_i)
         return (best_t, best_i), None
 
-    starts = jnp.arange(n_chunks, dtype=jnp.int32) * PRIM_CHUNK
+    starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
     (best_t, best_i), _ = lax.scan(step, (init_t, jnp.full_like(init_t, -1, jnp.int32)), starts)
     return best_t, best_i
 
@@ -103,7 +111,7 @@ def intersect_spheres(pack: sp.ScenePack, org, dirn, t_min, t_max):
     a = vmath.length_squared(dirn)[:, None]
 
     def body(start):
-        idx = start + jnp.arange(PRIM_CHUNK, dtype=jnp.int32)
+        idx = start + jnp.arange(_chunk_size(n_s), dtype=jnp.int32)
         valid = idx < n_s
         idx_c = jnp.clip(idx, 0, n_s - 1)
         center = pack.sph_center[idx_c]          # (C, 3)
@@ -152,7 +160,7 @@ def intersect_planes(pack: sp.ScenePack, org, dirn, t_min, t_max):
         return t_max, jnp.full(org.shape[:-1], -1, jnp.int32)
 
     def body(start):
-        idx = start + jnp.arange(PRIM_CHUNK, dtype=jnp.int32)
+        idx = start + jnp.arange(_chunk_size(n_p), dtype=jnp.int32)
         valid = idx < n_p
         idx_c = jnp.clip(idx, 0, n_p - 1)
         t, _, _ = plane_hit(
