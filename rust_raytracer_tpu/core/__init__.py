@@ -1,1 +1,1 @@
-from . import aabb, math, rng  # noqa: F401
+from . import math, rng  # noqa: F401

@@ -201,10 +201,18 @@ def triangle_hit(org, dirn, v0, e1, e2, hit_back, t_min, t_max):
     return jnp.where(ok, t, jnp.inf), u, v
 
 
-def use_pallas() -> bool:
-    """Route triangle traversal through a Pallas packet kernel on TPU;
-    the jnp while_loop below is the portable fallback and the correctness
-    oracle on CPU."""
+def use_pallas(kernel: str = "auto") -> bool:
+    """Resolve the triangle-traversal kernel choice.
+
+    kernel: "pallas" forces the Pallas packet kernels, "jnp" forces the
+    portable while_loop fallback (the correctness oracle on CPU), and
+    "auto" picks Pallas on TPU.  The RRT_NO_PALLAS / RRT_FORCE_PALLAS env
+    vars remain as a last-resort override for tools that can't thread the
+    argument (bench drivers), but the explicit argument wins."""
+    if kernel == "jnp":
+        return False
+    if kernel == "pallas":
+        return True
     import os
 
     if os.environ.get("RRT_NO_PALLAS"):
@@ -228,7 +236,8 @@ def _fits_vmem(pack: sp.ScenePack) -> bool:
     return pack.bvh8_child.shape[0] > 0 and geom <= _BVH8_VMEM_BUDGET
 
 
-def intersect_triangles(pack: sp.ScenePack, org, dirn, t_min, t_max):
+def intersect_triangles(pack: sp.ScenePack, org, dirn, t_min, t_max,
+                        kernel: str = "auto"):
     """Closest triangle hit via the cluster BVH.
 
     TPU: Pallas packet traversal (tile of rays shares one cursor; leaf
@@ -241,7 +250,7 @@ def intersect_triangles(pack: sp.ScenePack, org, dirn, t_min, t_max):
     if n_tris == 0 or n_nodes == 0:
         return t_max, jnp.full(org.shape[:-1], -1, jnp.int32)
 
-    if use_pallas():
+    if use_pallas(kernel):
         if _fits_vmem(pack):
             from . import pallas_bvh8 as pb8
 
@@ -393,7 +402,8 @@ def intersect_volumes(pack: sp.ScenePack, org, dirn, t_min, t_max, rng_ctx):
 SUN_THETA_MAX = 1e-3  # reference: sun.rs:14
 
 
-def intersect(pack: sp.ScenePack, org, dirn, t_min, rng_ctx, alive=None) -> Hit:
+def intersect(pack: sp.ScenePack, org, dirn, t_min, rng_ctx, alive=None,
+              kernel: str = "auto") -> Hit:
     """Closest hit across all primitive classes.
 
     Ordering semantics match the reference's ObjectList scan with shrinking
@@ -418,7 +428,8 @@ def intersect(pack: sp.ScenePack, org, dirn, t_min, rng_ctx, alive=None) -> Hit:
     tri_tmax = jnp.minimum(t_sph, t_pln)
     if alive is not None:
         tri_tmax = jnp.where(alive, tri_tmax, 0.0).astype(org.dtype)
-    t_tri, i_tri = intersect_triangles(pack, org, dirn, t_min, tri_tmax)
+    t_tri, i_tri = intersect_triangles(pack, org, dirn, t_min, tri_tmax,
+                                       kernel=kernel)
     t_tri = jnp.where(i_tri >= 0, t_tri, jnp.inf)
 
     # closest surface
@@ -453,13 +464,14 @@ def intersect(pack: sp.ScenePack, org, dirn, t_min, rng_ctx, alive=None) -> Hit:
             prim = jnp.where(take, ui, prim)
             miss = miss & ~take
 
-    # sky: catches everything still unbounded (last sky wins ties, matching
-    # the reference list-scan replacement semantics)
+    # sky: catches everything still unbounded.  The FIRST sky in the list
+    # wins ties: the reference's strict `<` list scan (object list closest
+    # hit) never lets a later equal-t sky replace an earlier one.
     n_sky = pack.sky_tex.shape[0]
     if n_sky:
         miss = ~jnp.isfinite(t_best)
         kind = jnp.where(miss, sp.PRIM_SKY, kind)
-        prim = jnp.where(miss, n_sky - 1, prim)
+        prim = jnp.where(miss, 0, prim)
         t_best = jnp.where(miss, jnp.inf, t_best)
 
     return Hit(t=t_best, kind=kind, prim=prim)

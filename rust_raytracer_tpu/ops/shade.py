@@ -138,9 +138,8 @@ def shade(
     spec_n = jnp.where(is_metal[:, None], attr.normal, nrm_mapped)
     reflected = vmath.reflect(dirn, spec_n)
     fuzz = _random_unit(rng_ctx, rng.Streams.SPECULAR)
-    spec_rough = jnp.where(is_glossy, rough, rough)  # same source; kept explicit
     refl_len = vmath.safe_sqrt(vmath.length_squared(reflected))
-    fuzzy_dir = reflected + fuzz * (spec_rough * refl_len)[:, None]
+    fuzzy_dir = reflected + fuzz * (rough * refl_len)[:, None]
     fuzz_ok = vmath.dot(fuzzy_dir, spec_n) > 0.0
 
     # dielectric (dielectric.rs:30-53)

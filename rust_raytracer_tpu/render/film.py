@@ -15,15 +15,20 @@ from ..ops import tonemap as tm
 
 
 class Film:
+    """Cross-batch accumulation happens on the HOST in float64: device
+    batches produce f32 partial sums (TPU has no native f64), and summing
+    thousands of those in f32 loses ~12 bits at 4000spp x bright skies.
+    The reference accumulates f64 too (buffer.rs)."""
+
     def __init__(self, width: int, height: int, dtype=jnp.float32):
         self.width = width
         self.height = height
-        self.accum = jnp.zeros((height, width, 3), dtype)
+        self.accum = np.zeros((height, width, 3), np.float64)
         self.samples = 0
 
     def add_samples(self, radiance_sum, n_samples: int):
         """Add a (H, W, 3) radiance *sum* over n_samples per pixel."""
-        self.accum = self.accum + radiance_sum
+        self.accum = self.accum + np.asarray(radiance_sum, np.float64)
         self.samples += n_samples
 
     def hdr(self) -> np.ndarray:
@@ -38,8 +43,18 @@ class Film:
         return np.asarray(tm.quantize_u8(color))
 
     def save(self, path: str, tonemap: str = "aces"):
+        if path.endswith(".ppm"):
+            return self.save_ppm(path, tonemap)
         from PIL import Image as PILImage
 
         img = self.to_image(tonemap)
         PILImage.fromarray(img, "RGB").save(path)
+        return path
+
+    def save_ppm(self, path: str, tonemap: str = "aces"):
+        """Binary P6 PPM (reference: src/ppm.rs — legacy output path)."""
+        img = self.to_image(tonemap)
+        with open(path, "wb") as f:
+            f.write(b"P6\n%d %d\n255\n" % (self.width, self.height))
+            f.write(img.tobytes())
         return path

@@ -89,7 +89,8 @@ def _compaction_key(org, dirn, alive, dir_bits: int = 3):
     return key
 
 
-def shade_vertex(pack, static, org, dirn, ctx, light_bias, alive):
+def shade_vertex(pack, static, org, dirn, ctx, light_bias, alive,
+                 kernel: str = "auto"):
     """One path-vertex evaluation shared by the bounded-loop integrator and
     the persistent ray pool (render/pool.py): closest hit, texture program,
     NEE-mixture shading, miss -> background.
@@ -101,7 +102,8 @@ def shade_vertex(pack, static, org, dirn, ctx, light_bias, alive):
       ended    (N,)   — path terminates at this vertex (miss/absorb/emissive)
       pos      (N, 3) — hit position (next ray origin)
     """
-    hit = isect.intersect(pack, org, dirn, T_MIN, ctx, alive=alive)
+    hit = isect.intersect(pack, org, dirn, T_MIN, ctx, alive=alive,
+                          kernel=kernel)
     # detach traversal decisions (ids + raw t); hit_attributes recomputes
     # t differentiably, keeping the BVH while_loop out of the AD graph
     hit = jax.tree_util.tree_map(lax.stop_gradient, hit)
@@ -132,6 +134,7 @@ def trace(
     light_bias: float,
     compact: bool = True,
     differentiable: bool = False,
+    kernel: str = "auto",
 ):
     """Trace a batch of rays to completion; returns (N, 3) radiance in the
     caller's lane order.
@@ -163,7 +166,7 @@ def trace(
         ctx = vrng.Ctx(pixel=pixel, sample=sample, bounce=depth, seed=seed)
 
         emission, weight, next_dir, ended, pos = shade_vertex(
-            pack, static, org, dirn, ctx, light_bias, alive
+            pack, static, org, dirn, ctx, light_bias, alive, kernel=kernel
         )
 
         radiance = radiance + throughput * emission * alive[:, None]

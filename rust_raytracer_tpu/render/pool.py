@@ -83,7 +83,7 @@ def init_state(n_lanes: int, n_pixels: int, dtype=jnp.float32) -> PoolState:
 
 
 def make_step(pack, static, camera, total: int, spp: int, seed,
-              compact: bool = True):
+              compact: bool = True, kernel: str = "auto"):
     """Build the jitted pool step.  `total` = n_pixels * spp lane-jobs;
     flat job ids are pixel-major (pixel = flat // spp) so consecutive
     refills share pixels — coherent regeneration."""
@@ -98,7 +98,8 @@ def make_step(pack, static, camera, total: int, spp: int, seed,
         ctx = vrng.Ctx(pixel=s.pixel, sample=s.sample, bounce=s.bounce,
                        seed=seed)
         emission, weight, new_dir, ended, pos = integrator.shade_vertex(
-            pack, static, s.org, s.dirn, ctx, light_bias, s.active
+            pack, static, s.org, s.dirn, ctx, light_bias, s.active,
+            kernel=kernel,
         )
 
         act = s.active[:, None]
@@ -160,15 +161,18 @@ def make_step(pack, static, camera, total: int, spp: int, seed,
 
 def render_pool(pack, static, camera, n_pixels: int, spp: int,
                 n_lanes: int, seed=0, dtype=jnp.float32,
-                steps_per_poll: int = 10, progress=None):
+                steps_per_poll: int = 10, progress=None,
+                kernel: str = "auto", metrics=None):
     """Render n_pixels * spp samples through a persistent pool of n_lanes.
 
     Returns the (n_pixels, 3) radiance sum (divide by spp for the mean).
     `progress`, if given, is called with (issued, total) after each poll.
+    `metrics`, if given, is a utils.metrics.RenderMetrics that records
+    per-poll occupancy and throughput counters.
     """
     total = n_pixels * spp
     state = init_state(n_lanes, n_pixels, dtype)
-    step = make_step(pack, static, camera, total, spp, seed)
+    step = make_step(pack, static, camera, total, spp, seed, kernel=kernel)
 
     # Upper bound on steps, for safety against scheduling bugs: every
     # lane-job takes <= max_depth steps.
@@ -181,6 +185,9 @@ def render_pool(pack, static, camera, n_pixels: int, spp: int,
         done_steps += steps_per_poll
         issued = int(state.next_flat)
         n_active = int(jnp.sum(state.active.astype(jnp.int32)))
+        if metrics is not None:
+            for _ in range(steps_per_poll):  # per-poll granularity
+                metrics.record_step(n_active, n_lanes, issued)
         if progress is not None:
             progress(issued, total)
         if issued >= total and n_active == 0:

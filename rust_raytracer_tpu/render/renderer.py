@@ -38,12 +38,17 @@ class Renderer:
         dtype=jnp.float32,
         batch_size: int = DEFAULT_BATCH,
         mesh: Optional[object] = None,
+        kernel: str = "auto",
     ):
+        """kernel: "auto" (Pallas on TPU, jnp elsewhere), "pallas", or
+        "jnp" — explicit selection of the triangle-traversal kernel
+        (replaces the RRT_NO_PALLAS env var)."""
         self.camera = camera
         self.seed = seed
         self.dtype = dtype
         self.batch_size = batch_size
         self.mesh = mesh
+        self.kernel = kernel
         self.pack, self.static = scompiler.compile_scene(scene, dtype)
 
         static = self.static
@@ -61,6 +66,7 @@ class Renderer:
             return integrator.trace(
                 pack, static, org, dirn, ctx,
                 camera_ref.max_depth, camera_ref.light_bias,
+                kernel=kernel,
             )
 
         if mesh is not None:
@@ -103,6 +109,7 @@ class Renderer:
         accum = poolmod.render_pool(
             self.pack, self.static, camera, n_pixels, total_spp,
             n_lanes, seed=self.seed, dtype=self.dtype, progress=cb,
+            kernel=self.kernel,
         )
         film = filmmod.Film(w, h, self.dtype)
         film.add_samples(jnp.asarray(accum).reshape(h, w, 3), total_spp)
