@@ -88,16 +88,23 @@ def _chunked_argmin(n_prims, init_t, body):
 
 def sphere_hit_t(org, dirn, center, radius, t_min, t_max):
     """Quadratic ray-sphere test, nearest root in (t_min, t_max)
-    (reference: sphere.rs:40-63).  Broadcasts org (N,1,3) vs center (..,C,3)."""
+    (reference: sphere.rs:40-63).  Broadcasts org (N,1,3) vs center (..,C,3).
+
+    Grad-safe: this is called from the NEE pdf path (ops/lights.py), which
+    is live under jax.grad.  sqrt's argument is masked *before* the sqrt —
+    `where` after the fact does not stop reverse-mode from multiplying the
+    d(sqrt)/dx = inf of missing lanes into upstream cotangents (0*inf=NaN).
+    """
     oc = org - center
     a = vmath.length_squared(dirn)
     half_b = vmath.dot(dirn, oc)
     c = vmath.length_squared(oc) - radius * radius
     disc = half_b * half_b - a * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    ok = disc >= 0.0
+    sq = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
+    sq = jnp.where(ok, sq, 0.0)
     root1 = (-half_b - sq) / a
     root2 = (-half_b + sq) / a
-    ok = disc >= 0.0
     v1 = ok & (root1 > t_min) & (root1 < t_max)
     v2 = ok & (root2 > t_min) & (root2 < t_max)
     return jnp.where(v1, root1, jnp.where(v2, root2, jnp.inf))
@@ -142,15 +149,23 @@ def plane_hit(org, dirn, corner, uhalf, vhalf, normal, backface, t_min, t_max):
     dot_rn = jnp.sum(normal * dirn, axis=-1)
     dd = jnp.where(backface, jnp.abs(dot_rn), -dot_rn)
     facing = dd > DET_EPS
-    t = jnp.sum(normal * (corner - org), axis=-1) / dot_rn
-    in_t = (t > t_min) & (t < t_max)
-    pos = org + dirn * t[..., None]
+    # Grad-safe division: `facing` implies |dot_rn| > DET_EPS, so masking the
+    # denominator never changes a hit lane's t — it only keeps the t of
+    # parallel rays finite so reverse-mode (this runs live in the NEE pdf
+    # path, ops/lights.py) never sees inf*0 cotangents.
+    denom = jnp.where(jnp.abs(dot_rn) > DET_EPS, dot_rn, 1.0)
+    t = jnp.sum(normal * (corner - org), axis=-1) / denom
+    in_t = facing & (t > t_min) & (t < t_max)
+    # uv math on a bounded t: non-facing lanes can still carry a huge finite
+    # t; evaluating pos there would feed inf/overflow into the uv products.
+    t_uvsafe = jnp.where(in_t, t, 1.0)
+    pos = org + dirn * t_uvsafe[..., None]
     local = pos - corner
     # u = local . uhalf / (2 |uhalf|^2)  (reference inv_u, plane.rs:56)
     u = jnp.sum(local * uhalf, axis=-1) / (2.0 * jnp.sum(uhalf * uhalf, axis=-1))
     v = jnp.sum(local * vhalf, axis=-1) / (2.0 * jnp.sum(vhalf * vhalf, axis=-1))
     in_uv = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0)
-    hit = facing & in_t & in_uv
+    hit = in_t & in_uv
     return jnp.where(hit, t, jnp.inf), u, v
 
 
@@ -464,14 +479,15 @@ def intersect(pack: sp.ScenePack, org, dirn, t_min, rng_ctx, alive=None,
             prim = jnp.where(take, ui, prim)
             miss = miss & ~take
 
-    # sky: catches everything still unbounded.  The FIRST sky in the list
-    # wins ties: the reference's strict `<` list scan (object list closest
-    # hit) never lets a later equal-t sky replace an earlier one.
+    # sky: catches everything still unbounded.  The LAST sky in the list
+    # wins ties: Sky::test rejects only when hit_t > interval max, and
+    # inf > inf is false, so each later sky at t=inf replaces the previous
+    # one in the reference's list scan (sky.rs:31, list.rs:66-71).
     n_sky = pack.sky_tex.shape[0]
     if n_sky:
         miss = ~jnp.isfinite(t_best)
         kind = jnp.where(miss, sp.PRIM_SKY, kind)
-        prim = jnp.where(miss, 0, prim)
+        prim = jnp.where(miss, n_sky - 1, prim)
         t_best = jnp.where(miss, jnp.inf, t_best)
 
     return Hit(t=t_best, kind=kind, prim=prim)

@@ -35,9 +35,12 @@ def _sphere_pdf_value(pack, li, origin, dirn):
     d2 = vmath.length_squared(center - origin)
     # guard: origin inside the sphere would NaN the sqrt (the reference
     # does too, but only evaluates it after a hit test that can still pass)
-    cos_theta_max = vmath.safe_sqrt(1.0 - radius * radius / d2)
+    cos_theta_max = vmath.safe_sqrt(1.0 - radius * radius / jnp.maximum(d2, 1e-20))
     solid_angle = 2.0 * jnp.pi * (1.0 - cos_theta_max)
-    return jnp.where(hits & (solid_angle > 0), 1.0 / solid_angle, 0.0)
+    # reciprocal on a masked operand: 1/0 = inf would poison reverse-mode
+    # even behind the where (this pdf is live under jax.grad)
+    sa_safe = jnp.where(solid_angle > 0, solid_angle, 1.0)
+    return jnp.where(hits & (solid_angle > 0), 1.0 / sa_safe, 0.0)
 
 
 def _sphere_sample(pack, li, origin, rng_ctx, salt):
@@ -46,7 +49,7 @@ def _sphere_sample(pack, li, origin, rng_ctx, salt):
     radius = pack.sph_radius[li]
     to_c = center - origin
     d2 = vmath.length_squared(to_c)
-    cos_theta_max = vmath.safe_sqrt(1.0 - radius * radius / d2)
+    cos_theta_max = vmath.safe_sqrt(1.0 - radius * radius / jnp.maximum(d2, 1e-20))
     u1, u2, _, _ = rng_ctx.uniform4(rng.Streams.LIGHT_SAMPLE + salt)
     local = vmath.square_to_sphere_cone(u1, u2, cos_theta_max)
     u, v, w = vmath.onb_from_vec(vmath.normalize(to_c, 1e-20))
@@ -64,8 +67,12 @@ def _plane_pdf_value(pack, li, origin, dirn):
     hits = jnp.isfinite(t)
     t_safe = jnp.where(hits, t, 1.0)
     dist2 = t_safe * t_safe * vmath.length_squared(dirn)
-    cosine = jnp.abs(vmath.dot(dirn, pack.pln_normal[li])) / vmath.length(dirn)
-    pdf = dist2 / (cosine * pack.pln_area[li])
+    # safe_sqrt + masked denominators: this pdf runs live under jax.grad, so
+    # 1/0 = inf anywhere here NaN-poisons upstream cotangents via 0*inf.
+    dlen = vmath.safe_sqrt(vmath.length_squared(dirn), 1e-20)
+    cosine = jnp.abs(vmath.dot(dirn, pack.pln_normal[li])) / dlen
+    cos_safe = jnp.where(cosine > 0, cosine, 1.0)
+    pdf = dist2 / (cos_safe * pack.pln_area[li])
     return jnp.where(hits & (cosine > 0), pdf, 0.0)
 
 

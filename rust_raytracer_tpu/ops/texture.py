@@ -109,7 +109,7 @@ def _sample_image(pixels, u, v, repeat):
     return pixels[y, x]
 
 
-def eval_program(program, tex_data, uv, pos):
+def eval_program(program, tex_data, uv, pos, tex_const=None):
     """Evaluate all texture nodes for all shading points.
 
     Args:
@@ -117,6 +117,9 @@ def eval_program(program, tex_data, uv, pos):
       tex_data: tuple of arrays referenced by data_idx (dynamic pytree leaves).
       uv: (N, 2) texture coordinates.
       pos: (N, 3) world-space positions.
+      tex_const: optional (num_nodes, 3) dynamic CONSTANT values (row i =
+        program node i).  When given, constants are differentiable scene
+        parameters; otherwise the static node.value is baked in.
 
     Returns:
       (num_nodes, N, 3) value stack.  Use `gather_values` to pick per-ray.
@@ -124,9 +127,12 @@ def eval_program(program, tex_data, uv, pos):
     n = uv.shape[0]
     dtype = pos.dtype
     values = []
-    for node in program:
+    for i, node in enumerate(program):
         if node.kind == CONSTANT:
-            val = jnp.broadcast_to(jnp.asarray(node.value, dtype), (n, 3))
+            if tex_const is not None:
+                val = jnp.broadcast_to(tex_const[i].astype(dtype), (n, 3))
+            else:
+                val = jnp.broadcast_to(jnp.asarray(node.value, dtype), (n, 3))
         elif node.kind == CHECKER:
             # iu = (u * 2 / scale) as u32 — rust `as u32` truncates toward 0
             # and saturates negatives to 0; match with clip+trunc.  The upper

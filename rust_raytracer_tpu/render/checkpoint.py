@@ -72,9 +72,31 @@ def render_pool_resumable(pack, static, camera, n_pixels: int, spp: int,
     """
     total = n_pixels * spp
     step_count = 0
+    # Render-parameter fingerprint: resuming under different seed/spp/
+    # pixels/camera/depth would silently corrupt the image (lane RNG ids
+    # and the accumulator would disagree with the new step function).
+    params = {
+        "seed": int(seed), "spp": int(spp), "n_pixels": int(n_pixels),
+        "n_lanes": int(n_lanes), "max_depth": int(camera.max_depth),
+        "cam": (camera.image_width, camera.image_height,
+                tuple(np.asarray(camera.position, np.float64)),
+                tuple(np.asarray(camera.look_at, np.float64)),
+                float(camera.focal_length), float(camera.light_bias)),
+    }
+    import hashlib
+
+    digest = hashlib.sha256(repr(sorted(params.items())).encode()).digest()
+    params_hash = np.frombuffer(digest[:8], np.uint64)[0]
     if checkpoint_path and os.path.exists(checkpoint_path):
         state, meta = load_pool_state(checkpoint_path)
         step_count = int(meta.get("step_count", 0))
+        saved_hash = meta.get("params_hash")
+        if saved_hash is not None and np.uint64(saved_hash) != params_hash:
+            raise ValueError(
+                f"checkpoint {checkpoint_path} was written with different "
+                f"render parameters (seed/spp/pixels/camera/depth); refusing "
+                f"to resume into an inconsistent state"
+            )
         assert state.org.shape[0] == n_lanes, (
             f"checkpoint lane count {state.org.shape[0]} != {n_lanes}"
         )
@@ -95,10 +117,13 @@ def render_pool_resumable(pack, static, camera, n_pixels: int, spp: int,
             progress(issued, total)
         if checkpoint_path and since_ckpt >= checkpoint_every_steps:
             save_pool_state(checkpoint_path, state,
-                            {"step_count": step_count})
+                            {"step_count": step_count,
+                             "params_hash": params_hash})
             since_ckpt = 0
         if issued >= total and n_active == 0:
             break
     if checkpoint_path:
-        save_pool_state(checkpoint_path, state, {"step_count": step_count})
+        save_pool_state(checkpoint_path, state,
+                        {"step_count": step_count,
+                         "params_hash": params_hash})
     return state.accum

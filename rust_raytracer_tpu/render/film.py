@@ -20,7 +20,7 @@ class Film:
     thousands of those in f32 loses ~12 bits at 4000spp x bright skies.
     The reference accumulates f64 too (buffer.rs)."""
 
-    def __init__(self, width: int, height: int, dtype=jnp.float32):
+    def __init__(self, width: int, height: int):
         self.width = width
         self.height = height
         self.accum = np.zeros((height, width, 3), np.float64)

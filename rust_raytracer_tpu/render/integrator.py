@@ -110,7 +110,8 @@ def shade_vertex(pack, static, org, dirn, ctx, light_bias, alive,
     attr = isect.hit_attributes(pack, org, dirn, hit)
 
     tex_values = tex.eval_program(
-        static.tex_program, pack.tex_data, attr.uv, attr.pos
+        static.tex_program, pack.tex_data, attr.uv, attr.pos,
+        tex_const=pack.tex_const,
     )
     res = shd.shade(
         pack, static.light_list, tex_values, org, dirn, hit, attr,

@@ -1,5 +1,5 @@
 """Persistent ray-pool renderer: wavefront path tracing with dead-lane
-regeneration.
+regeneration, single- or multi-chip.
 
 The bounded-loop integrator (render/integrator.py) traces a fixed batch of
 paths for max_depth bounces; on the cornell benchmark the live fraction
@@ -17,6 +17,15 @@ Because the RNG is keyed by (pixel, sample, bounce) (core/rng.py), the
 schedule change does not alter a single sample — only the floating-point
 order of each pixel's radiance sum differs from the batch renderer.
 
+Multi-chip: the lane axis is sharded over a 1-D device mesh with
+shard_map (the TPU-native analog of the reference's thread pool).  Each
+shard owns a contiguous slice of the (pixel, sample) job grid and a
+private image accumulator — zero ICI traffic during tracing (scene
+replicated, lanes independent), one accumulator reduction at the end,
+exactly the reference's join-and-sum (camera.rs:243-255).  Per-job
+radiance is bit-identical to the single-chip run (counter-based RNG);
+only the per-pixel summation order differs.
+
 All shapes are static: one XLA compilation for the whole render.  The
 host loop chains K steps per device round-trip and polls a tiny scalar
 (lanes remaining) to decide completion.
@@ -29,13 +38,21 @@ from typing import Optional
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
 
 from ..core import rng as vrng
 from . import integrator
 
 
 class PoolState:
-    """Pytree of the pool's per-lane state + image accumulator."""
+    """Pytree of the pool's per-lane state + per-shard image accumulator.
+
+    `accum` is (n_shards, n_pixels, 3) and `next_flat` (n_shards,): shard
+    s owns accum[s] and issues jobs from its own contiguous quota of the
+    flat (pixel, sample) grid, counted by next_flat[s].  Single-chip runs
+    are the n_shards=1 special case.
+    """
 
     __slots__ = ("org", "dirn", "throughput", "radiance", "pixel", "sample",
                  "bounce", "active", "accum", "next_flat")
@@ -67,7 +84,8 @@ jax.tree_util.register_pytree_node(
 )
 
 
-def init_state(n_lanes: int, n_pixels: int, dtype=jnp.float32) -> PoolState:
+def init_state(n_lanes: int, n_pixels: int, dtype=jnp.float32,
+               n_shards: int = 1) -> PoolState:
     return PoolState(
         org=jnp.zeros((n_lanes, 3), dtype),
         dirn=jnp.ones((n_lanes, 3), dtype),
@@ -77,24 +95,50 @@ def init_state(n_lanes: int, n_pixels: int, dtype=jnp.float32) -> PoolState:
         sample=jnp.zeros((n_lanes,), jnp.uint32),
         bounce=jnp.zeros((n_lanes,), jnp.uint32),
         active=jnp.zeros((n_lanes,), bool),
-        accum=jnp.zeros((n_pixels, 3), dtype),
-        next_flat=jnp.uint32(0),
+        accum=jnp.zeros((n_shards, n_pixels, 3), dtype),
+        next_flat=jnp.zeros((n_shards,), jnp.uint32),
     )
 
 
+def _shard_quota(shard, n_shards, total):
+    """Contiguous balanced partition of [0, total): shard s owns
+    [start, start + quota).  uint32-safe (no s*total products)."""
+    q = np.uint32(total // n_shards)
+    r = np.uint32(total % n_shards)
+    extra = jnp.minimum(shard, r).astype(jnp.uint32)
+    start = shard.astype(jnp.uint32) * q + extra
+    quota = q + (shard < r).astype(jnp.uint32)
+    return start, quota
+
+
 def make_step(pack, static, camera, total: int, spp: int, seed,
-              compact: bool = True, kernel: str = "auto"):
+              compact: bool = True, kernel: str = "auto",
+              mesh=None, axis: str = "dp"):
     """Build the jitted pool step.  `total` = n_pixels * spp lane-jobs;
     flat job ids are pixel-major (pixel = flat // spp) so consecutive
-    refills share pixels — coherent regeneration."""
+    refills share pixels — coherent regeneration.
+
+    With `mesh`, the returned step is shard_map'ed over the lane axis:
+    state lanes sharded, ScenePack replicated, each shard issuing from
+    its own job-grid slice into its own accum plane.
+    """
     w = np.uint32(camera.image_width)
     max_depth = np.uint32(camera.max_depth)
     light_bias = camera.light_bias
     seed = jnp.uint32(seed)
-    total = np.uint32(total)
+    total = int(total)
     spp_u = np.uint32(spp)
+    n_shards = 1 if mesh is None else mesh.devices.size
 
-    def step(pack, s: PoolState) -> PoolState:
+    def step_local(pack, s: PoolState) -> PoolState:
+        if mesh is None:
+            shard = jnp.uint32(0)
+        else:
+            shard = lax.axis_index(axis).astype(jnp.uint32)
+        job_base, quota = _shard_quota(shard, n_shards, total)
+        next_local = s.next_flat[0]
+        accum = s.accum[0]
+
         ctx = vrng.Ctx(pixel=s.pixel, sample=s.sample, bounce=s.bounce,
                        seed=seed)
         emission, weight, new_dir, ended, pos = integrator.shade_vertex(
@@ -110,18 +154,20 @@ def make_step(pack, static, camera, total: int, spp: int, seed,
         org = jnp.where(still[:, None], pos, s.org)
         dirn = jnp.where(still[:, None], new_dir, s.dirn)
 
-        # retire finished paths into the image accumulator
+        # retire finished paths into this shard's image accumulator
         retired = s.active & ~still
-        accum = s.accum.at[s.pixel].add(
+        accum = accum.at[s.pixel].add(
             jnp.where(retired[:, None], radiance, 0.0),
             mode="drop",
         )
 
         # refill dead lanes with the next un-issued (pixel, sample) jobs
+        # from this shard's quota
         dead = ~still
         rank = jnp.cumsum(dead.astype(jnp.uint32)) - 1
-        new_flat = s.next_flat + rank
-        issue = dead & (new_flat < total)
+        new_local = next_local + rank
+        issue = dead & (new_local < quota)
+        new_flat = job_base + new_local
         pix = new_flat // spp_u
         smp = new_flat % spp_u
         px = pix % w
@@ -140,7 +186,7 @@ def make_step(pack, static, camera, total: int, spp: int, seed,
         bounce = jnp.where(issue, jnp.uint32(0), bounce)
         active = still | issue
         n_dead = jnp.sum(dead.astype(jnp.uint32))
-        next_flat = jnp.minimum(s.next_flat + n_dead, total)
+        next_local = jnp.minimum(next_local + n_dead, quota)
 
         if compact:
             perm = jnp.argsort(
@@ -153,43 +199,69 @@ def make_step(pack, static, camera, total: int, spp: int, seed,
 
         return PoolState(org=org, dirn=dirn, throughput=throughput,
                          radiance=radiance, pixel=pixel, sample=sample,
-                         bounce=bounce, active=active, accum=accum,
-                         next_flat=next_flat)
+                         bounce=bounce, active=active,
+                         accum=accum[None], next_flat=next_local[None])
 
-    return jax.jit(step, donate_argnums=(1,))
+    if mesh is None:
+        return jax.jit(step_local, donate_argnums=(1,))
+
+    lane = P(axis)
+    state_spec = PoolState(
+        org=lane, dirn=lane, throughput=lane, radiance=lane, pixel=lane,
+        sample=lane, bounce=lane, active=lane, accum=P(axis),
+        next_flat=P(axis),
+    )
+    sharded = jax.shard_map(
+        step_local, mesh=mesh,
+        in_specs=(P(), state_spec), out_specs=state_spec,
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(1,))
 
 
 def render_pool(pack, static, camera, n_pixels: int, spp: int,
                 n_lanes: int, seed=0, dtype=jnp.float32,
                 steps_per_poll: int = 10, progress=None,
-                kernel: str = "auto", metrics=None):
+                kernel: str = "auto", metrics=None,
+                mesh=None, axis: str = "dp"):
     """Render n_pixels * spp samples through a persistent pool of n_lanes.
 
     Returns the (n_pixels, 3) radiance sum (divide by spp for the mean).
     `progress`, if given, is called with (issued, total) after each poll.
     `metrics`, if given, is a utils.metrics.RenderMetrics that records
     per-poll occupancy and throughput counters.
+    `mesh`, if given, shards the lane axis over its devices (n_lanes must
+    be a multiple of the device count).
     """
     total = n_pixels * spp
-    state = init_state(n_lanes, n_pixels, dtype)
-    step = make_step(pack, static, camera, total, spp, seed, kernel=kernel)
+    n_shards = 1 if mesh is None else mesh.devices.size
+    if n_lanes % n_shards:
+        raise ValueError(f"n_lanes {n_lanes} not divisible by {n_shards} devices")
+    state = init_state(n_lanes, n_pixels, dtype, n_shards=n_shards)
+    step = make_step(pack, static, camera, total, spp, seed, kernel=kernel,
+                     mesh=mesh, axis=axis)
 
     # Upper bound on steps, for safety against scheduling bugs: every
-    # lane-job takes <= max_depth steps.
-    max_steps = (total * camera.max_depth) // n_lanes + 2 * camera.max_depth
+    # lane-job takes <= max_depth steps (sharding skew adds a few polls).
+    max_steps = ((total * camera.max_depth) // n_lanes
+                 + 2 * camera.max_depth * n_shards)
 
     done_steps = 0
     while done_steps < max_steps:
         for _ in range(steps_per_poll):
             state = step(pack, state)
         done_steps += steps_per_poll
-        issued = int(state.next_flat)
+        issued = int(jnp.sum(state.next_flat))
         n_active = int(jnp.sum(state.active.astype(jnp.int32)))
         if metrics is not None:
-            for _ in range(steps_per_poll):  # per-poll granularity
-                metrics.record_step(n_active, n_lanes, issued)
+            # counters are poll-granular: one sample covering
+            # steps_per_poll steps at the end-of-poll occupancy
+            metrics.record_step(n_active, n_lanes, issued,
+                                weight=steps_per_poll)
         if progress is not None:
             progress(issued, total)
         if issued >= total and n_active == 0:
             break
-    return state.accum
+    # reduce the per-shard accumulators (the reference's thread-buffer
+    # sum, camera.rs:243-255)
+    return jnp.sum(state.accum, axis=0)

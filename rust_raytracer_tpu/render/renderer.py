@@ -111,7 +111,7 @@ class Renderer:
             n_lanes, seed=self.seed, dtype=self.dtype, progress=cb,
             kernel=self.kernel,
         )
-        film = filmmod.Film(w, h, self.dtype)
+        film = filmmod.Film(w, h)
         film.add_samples(jnp.asarray(accum).reshape(h, w, 3), total_spp)
         return film
 
@@ -122,14 +122,19 @@ class Renderer:
         camera = self.camera
         w, h = camera.image_width, camera.image_height
         total_spp = camera.actual_spp if spp is None else spp
-        film = filmmod.Film(w, h, self.dtype)
+        film = filmmod.Film(w, h)
 
         n_pixels = w * h
         total = n_pixels * total_spp
         batch = min(self.batch_size, total)
         seed_arr = jnp.uint32(self.seed)
 
-        accum = jnp.zeros((n_pixels, 3), self.dtype)
+        # Host-side f64 accumulation in lane order: per-channel bincount sums
+        # strictly in lane order, which is independent of how the batch was
+        # sharded — 1-device, N-device and unsharded renders are
+        # BIT-IDENTICAL (the reference's thread-buffer sum, camera.rs:243-255,
+        # is the analogous mesh-shape-independent reduction).
+        accum = np.zeros((n_pixels, 3), np.float64)
         n_batches = -(-total // batch)
         for bi in range(n_batches):
             start = bi * batch
@@ -141,10 +146,12 @@ class Renderer:
             px = jnp.asarray(pix % w, jnp.uint32)
             py = jnp.asarray(pix // w, jnp.uint32)
             sample_id = jnp.asarray(smp, jnp.uint32)
-            rad = self._batch_fn(self.pack, px, py, sample_id, seed_arr)
+            rad = np.array(self._batch_fn(self.pack, px, py, sample_id, seed_arr))
             valid = (start + np.arange(batch)) < total
-            rad = jnp.where(jnp.asarray(valid)[:, None], rad, 0.0)
-            accum = accum.at[jnp.asarray(pix)].add(rad)
+            rad[~valid] = 0.0
+            for c in range(3):
+                accum[:, c] += np.bincount(pix, weights=rad[:, c],
+                                           minlength=n_pixels)
             if progress:
                 print(f"batch {bi + 1}/{n_batches}")
         film.add_samples(accum.reshape(h, w, 3), total_spp)

@@ -496,6 +496,7 @@ def compile_scene(scene: graph.SceneDef, dtype=jnp.float32):
         light_kind=i(np.asarray([k for k, _ in light_list], np.int32)),
         light_idx=i(np.asarray([x for _, x in light_list], np.int32)),
         tex_data=tuple(jnp.asarray(d) for d in c.tex_data),
+        tex_const=f(np.array([n.value for n in c.tex_nodes], np.float64)),
         background=f(background),
     )
     static = SceneStatic(

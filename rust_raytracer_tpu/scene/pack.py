@@ -147,6 +147,12 @@ class ScenePack:
     #     the TexProgram (ops/texture.py) ---
     tex_data: Tuple[Any, ...]
 
+    # --- CONSTANT texture node values: row i is program node i's RGB value
+    #     (0 for non-constant nodes).  Kept as a dynamic array (not baked
+    #     into the static program) so albedo/emission constants are
+    #     differentiable scene parameters. ---
+    tex_const: Any  # (TN, 3)
+
     # --- misc ---
     background: Any  # (3,) constant background color
 
@@ -189,5 +195,6 @@ def empty_pack(dtype=jnp.float32) -> ScenePack:
         mat_ior=_empty((0,), dtype), mat_normal_tex=_empty((0,), i32),
         light_kind=_empty((0,), i32), light_idx=_empty((0,), i32),
         tex_data=(),
+        tex_const=_empty((1, 3), dtype),
         background=_empty((3,), dtype),
     )

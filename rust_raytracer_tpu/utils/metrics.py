@@ -34,9 +34,13 @@ class RenderMetrics:
     stage_seconds: Dict[str, float] = field(default_factory=dict)
     bounce_alive: List[int] = field(default_factory=list)  # occupancy/step
 
-    def record_step(self, n_alive: int, n_lanes: int, issued: int):
-        self.steps += 1
-        self.lane_bounces += n_alive
+    def record_step(self, n_alive: int, n_lanes: int, issued: int,
+                    weight: int = 1):
+        """Record one occupancy sample covering `weight` pool steps (the
+        pool polls device state only every steps_per_poll steps, so
+        occupancy is poll-granular)."""
+        self.steps += weight
+        self.lane_bounces += n_alive * weight
         self.samples_issued = issued
         self.bounce_alive.append(int(n_alive))
 

@@ -91,30 +91,17 @@ def main():
     fd_field("pln_corner.y(floor)", "pln_corner", (floor_i, 1))
     fd_field("background.g", "background", (1,))
 
-    # albedo + emission constants live in the texture data tables: probe
-    # the two most grad-sensitive entries of each table
-    for ti, tdata in enumerate(pack.tex_data):
-        tarr = np.asarray(tdata)
-        garr = np.asarray(grad.tex_data[ti])
-        if tarr.size == 0:
+    # albedo + emission constants live in the dynamic tex_const table
+    # (CONSTANT texture node values): probe the 4 most grad-sensitive
+    # entries (covers at least one albedo and one emission constant)
+    carr = np.asarray(pack.tex_const)
+    cgrad = np.asarray(grad.tex_const)
+    for fi in np.argsort(-np.abs(cgrad).ravel())[:4]:
+        idx = np.unravel_index(int(fi), carr.shape)
+        an = float(cgrad[idx])
+        if abs(an) < 1e-6:
             continue
-        for fi in np.argsort(-np.abs(garr).ravel())[:2]:
-            idx = np.unravel_index(int(fi), tarr.shape)
-            an = float(garr[idx])
-            if abs(an) < 1e-6:
-                continue
-
-            def at(delta):
-                arr = tarr.copy()
-                arr[idx] += delta
-                td = tuple(jnp.asarray(arr) if j == ti else d
-                           for j, d in enumerate(pack.tex_data))
-                return float(loss(dataclasses.replace(pack, tex_data=td)))
-
-            eps = 1e-6
-            fd = (at(+eps) - at(-eps)) / (2 * eps)
-            results.append({"name": f"tex_data[{ti}]{list(idx)}",
-                            "analytic": an, "fd": fd})
+        fd_field(f"tex_const[{idx[0]},{idx[1]}]", "tex_const", idx)
 
     print(json.dumps(results))
     return 0

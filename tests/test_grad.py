@@ -68,9 +68,9 @@ def test_grad_background(fd_results):
 
 
 def test_grad_material_texture_constants(fd_results):
-    _check(fd_results, "tex_data")
+    _check(fd_results, "tex_const")
     # at least 2 distinct texture constants (albedo + emission) probed
-    assert sum(r["name"].startswith("tex_data") for r in fd_results) >= 2
+    assert sum(r["name"].startswith("tex_const") for r in fd_results) >= 2
 
 
 def test_gradients_nontrivial(fd_results):
