@@ -69,7 +69,7 @@ def main():
         for _ in range(10):
             state = step(r.pack, state)
         done += 10
-        issued = int(state.next_flat)
+        issued = int(jnp.sum(state.next_flat))
         if issued >= total and not bool(jnp.any(state.active)):
             break
     jax.block_until_ready(state.accum)

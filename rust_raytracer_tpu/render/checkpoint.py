@@ -111,7 +111,7 @@ def render_pool_resumable(pack, static, camera, n_pixels: int, spp: int,
             state = step(pack, state)
         step_count += steps_per_poll
         since_ckpt += steps_per_poll
-        issued = int(state.next_flat)
+        issued = int(jnp.sum(state.next_flat))
         n_active = int(jnp.sum(state.active.astype(jnp.int32)))
         if progress is not None:
             progress(issued, total)
@@ -126,4 +126,4 @@ def render_pool_resumable(pack, static, camera, n_pixels: int, spp: int,
         save_pool_state(checkpoint_path, state,
                         {"step_count": step_count,
                          "params_hash": params_hash})
-    return state.accum
+    return jnp.sum(state.accum, axis=0)

@@ -62,4 +62,4 @@ def test_save_load_roundtrip(setup, tmp_path):
               "bounce", "active", "accum"):
         np.testing.assert_array_equal(
             np.asarray(getattr(state, f)), np.asarray(getattr(loaded, f)))
-    assert int(loaded.next_flat) == int(state.next_flat)
+    assert int(jnp.sum(loaded.next_flat)) == int(jnp.sum(state.next_flat))

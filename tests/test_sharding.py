@@ -42,6 +42,33 @@ def test_render_unsharded_vs_8_devices_bit_identical():
     np.testing.assert_array_equal(img0, img8)
 
 
+def test_pool_render_1_vs_8_devices():
+    """The production pool renderer sharded over 8 devices reproduces the
+    single-device image.  Per-job radiance is bit-identical (counter-based
+    RNG); only the per-pixel fp summation order differs across meshes, so
+    the comparison is allclose at f32 tolerance, and the issued-job count
+    must match exactly."""
+    from rust_raytracer_tpu.render import pool as poolmod
+    from rust_raytracer_tpu.scene import compiler as sc
+
+    scene = models.build("test")
+    cam = Camera(
+        image_width=32, aspect_ratio=1.0, samples_per_pixel=4, max_depth=4,
+        position=(0, 0, 1), look_at=(0, 0, 0), focal_length=50.0,
+    )
+    pack, static = sc.compile_scene(scene)
+    n_pixels = cam.image_width * cam.image_height
+    spp = 4
+    imgs = []
+    for mesh in (None, pmesh.make_mesh(8)):
+        accum = poolmod.render_pool(
+            pack, static, cam, n_pixels, spp, n_lanes=1024, seed=3,
+            mesh=mesh, kernel="jnp",
+        )
+        imgs.append(np.asarray(accum))
+    np.testing.assert_allclose(imgs[0], imgs[1], rtol=2e-5, atol=1e-6)
+
+
 def test_train_step_loss_and_grads_match_across_meshes():
     """Sharded psum-reduced loss/grads == single-device loss/grads."""
     scene = models.build("test")
