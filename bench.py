@@ -1,18 +1,26 @@
 #!/usr/bin/env python
 """Benchmark harness — run by the driver on real TPU hardware.
 
-Measures forward path-tracing throughput on the cornell_dragon benchmark
-(1200x1200, ~870k tris; a procedural stand-in replaces the stripped dragon
-OBJ) through the production render path — the persistent ray-pool
-renderer (render/pool.py) — and prints ONE JSON line:
+Measures on the cornell_dragon benchmark (1200x1200, ~870k tris; a
+procedural stand-in replaces the stripped dragon OBJ):
 
-  {"metric": ..., "value": N, "unit": "pixel-samples/s", "vs_baseline": N}
+  1. forward path-tracing throughput through the production render path —
+     the persistent ray-pool renderer (render/pool.py), and
+  2. forward+backward throughput: one jax.grad step of an image loss
+     w.r.t. every float scene parameter (geometry, materials, texture
+     constants) through the differentiable integrator.
+
+Prints ONE JSON line (driver contract); the backward number rides along
+as extra keys:
+
+  {"metric": ..., "value": N, "unit": "pixel-samples/s",
+   "vs_baseline": N, "fwd_bwd_pixel_samples_per_s": N, ...}
 
 Baseline: the reference renders cornell_dragon 1200x1200@1000spp in ~41 min
 on an M3 Pro with 10 threads ~= 0.59 M pixel-samples/s (BASELINE.md).
 
 Knobs (env): RRT_BENCH_SCENE, RRT_BENCH_WIDTH, RRT_BENCH_SPP,
-RRT_BENCH_LANES, RRT_BENCH_DEPTH.
+RRT_BENCH_LANES, RRT_BENCH_DEPTH, RRT_BENCH_SKIP_BWD.
 """
 import json
 import os
@@ -24,14 +32,60 @@ import numpy as np
 BASELINE_PIXEL_SAMPLES_PER_S = 0.59e6  # BASELINE.md cornell_dragon
 
 
+def bench_backward(pack, static, camera, n_lanes=1 << 15, depth=8):
+    """One-sample-per-lane differentiable render step: d(loss)/d(pack)
+    for an L2 loss against a target image patch.  Returns
+    (pixel-samples/s, rays/s) for the fused forward+backward step."""
+    import jax
+    import jax.numpy as jnp
+
+    from rust_raytracer_tpu.core import rng as vrng
+    from rust_raytracer_tpu.render import integrator
+
+    w = np.uint32(camera.image_width)
+    px = jnp.asarray(np.arange(n_lanes) % camera.image_width, jnp.uint32)
+    py = jnp.asarray(
+        (np.arange(n_lanes) // camera.image_width) % camera.image_height,
+        jnp.uint32,
+    )
+    sample = jnp.zeros((n_lanes,), jnp.uint32)
+    target = jnp.zeros((n_lanes, 3), jnp.float32)
+
+    def loss_fn(pack, seed):
+        ctx = vrng.Ctx(pixel=py * w + px, sample=sample,
+                       bounce=jnp.uint32(0), seed=seed)
+        org, dirn = camera.generate_rays(px, py, sample, ctx, jnp.float32)
+        rad = integrator.trace(pack, static, org, dirn, ctx, depth, 0.25,
+                               differentiable=True)
+        return jnp.mean((rad - target) ** 2)
+
+    grad_fn = jax.jit(jax.grad(loss_fn, allow_int=True))
+    g = grad_fn(pack, jnp.uint32(0))  # compile
+    jax.block_until_ready(jax.tree_util.tree_leaves(g)[0])
+    reps = 3
+    t0 = time.time()
+    for r in range(reps):
+        g = grad_fn(pack, jnp.uint32(r + 1))
+    jax.block_until_ready(jax.tree_util.tree_leaves(g)[0])
+    dt = (time.time() - t0) / reps
+    return n_lanes / dt, n_lanes * depth / dt
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from rust_raytracer_tpu import models
     from rust_raytracer_tpu.render import pool as poolmod
     from rust_raytracer_tpu.render.renderer import Renderer
     from rust_raytracer_tpu.utils import config as cfg
+    from rust_raytracer_tpu.utils import metrics as metricsmod
 
     scene_name = os.environ.get("RRT_BENCH_SCENE", "cornell_dragon")
     width = int(os.environ.get("RRT_BENCH_WIDTH", "1200"))
@@ -60,20 +114,19 @@ def main():
     compile_s = time.time() - t0
     del state
 
-    # timed: full pool render of the (pixel, sample) grid
+    # timed: full pool render of the (pixel, sample) grid, with live
+    # occupancy/throughput counters (utils/metrics.py)
+    metrics = metricsmod.RenderMetrics(
+        n_pixels=n_pixels, spp=spp, max_depth=max_depth
+    )
     t0 = time.time()
-    state = poolmod.init_state(n_lanes, n_pixels)
-    max_steps = total * max_depth // n_lanes + 2 * max_depth
-    done = 0
-    while done < max_steps:
-        for _ in range(10):
-            state = step(r.pack, state)
-        done += 10
-        issued = int(jnp.sum(state.next_flat))
-        if issued >= total and not bool(jnp.any(state.active)):
-            break
-    jax.block_until_ready(state.accum)
+    accum = poolmod.render_pool(
+        r.pack, r.static, camera, n_pixels, spp, n_lanes, seed=0,
+        metrics=metrics,
+    )
+    jax.block_until_ready(accum)
     elapsed = time.time() - t0
+    metrics.emit(stream=sys.stderr)
 
     value = total / elapsed
     result = {
@@ -85,7 +138,14 @@ def main():
         "value": round(value, 1),
         "unit": "pixel-samples/s",
         "vs_baseline": round(value / BASELINE_PIXEL_SAMPLES_PER_S, 3),
+        "lane_bounces_per_s": round(metrics.summary()["rays_per_s"], 1),
     }
+
+    if not os.environ.get("RRT_BENCH_SKIP_BWD"):
+        bwd_ps, bwd_rays = bench_backward(r.pack, r.static, camera)
+        result["fwd_bwd_pixel_samples_per_s"] = round(bwd_ps, 1)
+        result["fwd_bwd_rays_per_s"] = round(bwd_rays, 1)
+
     print(json.dumps(result))
     return 0
 

@@ -22,11 +22,16 @@ from ..scene import pack as sp
 from . import intersect as isect
 
 
-def _sphere_pdf_value(pack, li, origin, dirn):
+def _sphere_pdf_value(pack, li, origin, dirn, proxy=False):
     """Solid-angle cone pdf; 0 if the ray misses the sphere
-    (reference: sphere.rs:106-121)."""
-    center = pack.sph_center[li]
-    radius = pack.sph_radius[li]
+    (reference: sphere.rs:106-121).  proxy=True reads the invisible
+    light-only sphere table (assimp.rs:123-129)."""
+    if proxy:
+        center = pack.lgt_sph_center[li]
+        radius = pack.lgt_sph_radius[li]
+    else:
+        center = pack.sph_center[li]
+        radius = pack.sph_radius[li]
     t = isect.sphere_hit_t(
         origin, dirn, center, radius,
         jnp.asarray(1e-3, origin.dtype), jnp.inf,
@@ -43,10 +48,14 @@ def _sphere_pdf_value(pack, li, origin, dirn):
     return jnp.where(hits & (solid_angle > 0), 1.0 / sa_safe, 0.0)
 
 
-def _sphere_sample(pack, li, origin, rng_ctx, salt):
+def _sphere_sample(pack, li, origin, rng_ctx, salt, proxy=False):
     """Cone sampling toward the sphere (reference: sphere.rs:123-145)."""
-    center = pack.sph_center[li]
-    radius = pack.sph_radius[li]
+    if proxy:
+        center = pack.lgt_sph_center[li]
+        radius = pack.lgt_sph_radius[li]
+    else:
+        center = pack.sph_center[li]
+        radius = pack.sph_radius[li]
     to_c = center - origin
     d2 = vmath.length_squared(to_c)
     cos_theta_max = vmath.safe_sqrt(1.0 - radius * radius / jnp.maximum(d2, 1e-20))
@@ -99,6 +108,8 @@ def lights_pdf_value(pack: sp.ScenePack, light_list: Sequence[Tuple[int, int]],
     for kind, li in light_list:
         if kind == sp.LIGHT_SPHERE:
             acc += _sphere_pdf_value(pack, li, origin, dirn)
+        elif kind == sp.LIGHT_PROXY:
+            acc += _sphere_pdf_value(pack, li, origin, dirn, proxy=True)
         elif kind == sp.LIGHT_PLANE:
             acc += _plane_pdf_value(pack, li, origin, dirn)
         elif kind == sp.LIGHT_SKY:
@@ -124,6 +135,8 @@ def lights_sample(pack: sp.ScenePack, light_list: Sequence[Tuple[int, int]],
     for slot, (kind, li) in enumerate(light_list):
         if kind == sp.LIGHT_SPHERE:
             d = _sphere_sample(pack, li, origin, rng_ctx, slot)
+        elif kind == sp.LIGHT_PROXY:
+            d = _sphere_sample(pack, li, origin, rng_ctx, slot, proxy=True)
         elif kind == sp.LIGHT_PLANE:
             d = _plane_sample(pack, li, origin, rng_ctx, slot)
         elif kind == sp.LIGHT_SKY:

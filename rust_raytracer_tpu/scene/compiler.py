@@ -69,6 +69,7 @@ class _Compiler:
         self.volumes: List[tuple] = []
         self.skies: List[int] = []          # emission tex ids
         self.suns: List[tuple] = []         # (direction, tex)
+        self.proxy_spheres: List[tuple] = []  # (center, radius) light-only
 
         self.materials: List[graph.Material] = []
         self._mat_ids: Dict[int, int] = {}
@@ -325,6 +326,13 @@ class _Compiler:
             return out
         if isinstance(obj, graph.Transform):
             return self.light_entry(obj.obj)
+        if isinstance(obj, graph.ProxySphereLight):
+            # invisible sampling sphere: lives only in the light tables,
+            # never in the intersectable world (assimp.rs:123-129)
+            self.proxy_spheres.append(
+                (np.asarray(obj.center, np.float64), float(obj.radius))
+            )
+            return [(sp.LIGHT_PROXY, len(self.proxy_spheres) - 1)]
         kind_idx = self.prim_of.get(id(obj))
         if kind_idx is None:
             raise ValueError(
@@ -495,6 +503,9 @@ def compile_scene(scene: graph.SceneDef, dtype=jnp.float32):
         mat_inv_ior=f(inv_ior), mat_ior=f(ior), mat_normal_tex=i(nmap),
         light_kind=i(np.asarray([k for k, _ in light_list], np.int32)),
         light_idx=i(np.asarray([x for _, x in light_list], np.int32)),
+        lgt_sph_center=f(np.array([p[0] for p in c.proxy_spheres],
+                                  np.float64).reshape(len(c.proxy_spheres), 3)),
+        lgt_sph_radius=f(np.array([p[1] for p in c.proxy_spheres], np.float64)),
         tex_data=tuple(jnp.asarray(d) for d in c.tex_data),
         tex_const=f(np.array([n.value for n in c.tex_nodes], np.float64)),
         background=f(background),

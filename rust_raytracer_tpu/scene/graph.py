@@ -357,6 +357,17 @@ class Volume(Object):
 
 
 @dataclasses.dataclass
+class ProxySphereLight(Object):
+    """Invisible sphere used ONLY for NEE light sampling — never hit by
+    rays.  The reference's Assimp loader adds one per emissive mesh so
+    arbitrary emissive geometry can be importance-sampled
+    (assimp.rs:123-129: 'Create an invisible sphere object to sample
+    lighting').  Belongs in SceneDef.lights, not in the world."""
+    center: Sequence[float]
+    radius: float
+
+
+@dataclasses.dataclass
 class SceneDef:
     """(camera config, world, lights) — reference SceneData (scene.rs:30)."""
     world: Object

@@ -50,6 +50,7 @@ LIGHT_SPHERE = 0
 LIGHT_PLANE = 1
 LIGHT_SKY = 2
 LIGHT_SUN = 3
+LIGHT_PROXY = 4  # invisible sampling sphere (assimp.rs:123-129)
 
 # Volume boundary kinds
 VOL_SPHERE = 0
@@ -143,6 +144,11 @@ class ScenePack:
     light_kind: Any  # (L,) int32
     light_idx: Any   # (L,) int32 index into the kind's primitive table
 
+    # --- invisible proxy light spheres: sampled by NEE, never intersected
+    #     (reference: assimp.rs:123-129) ---
+    lgt_sph_center: Any  # (Q, 3)
+    lgt_sph_radius: Any  # (Q,)
+
     # --- texture node data (images, perlin tables), indexed statically by
     #     the TexProgram (ops/texture.py) ---
     tex_data: Tuple[Any, ...]
@@ -194,6 +200,7 @@ def empty_pack(dtype=jnp.float32) -> ScenePack:
         mat_rough_tex=_empty((0,), i32), mat_inv_ior=_empty((0,), dtype),
         mat_ior=_empty((0,), dtype), mat_normal_tex=_empty((0,), i32),
         light_kind=_empty((0,), i32), light_idx=_empty((0,), i32),
+        lgt_sph_center=_empty((0, 3), dtype), lgt_sph_radius=_empty((0,), dtype),
         tex_data=(),
         tex_const=_empty((1, 3), dtype),
         background=_empty((3,), dtype),
