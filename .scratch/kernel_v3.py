@@ -142,6 +142,7 @@ def make_kernel(tile, rows_per_block):
                             child = child_s[v * 8 + c]
                             hitc = (lax.shift_right_logical(
                                 bits, jnp.int32(c)) & 1) > 0
+                            hitc &= child != 0
                             stack_ref[sp1 + off] = child
                             off = off + hitc.astype(jnp.int32)
                         return sp1 + off

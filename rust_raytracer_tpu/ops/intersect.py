@@ -115,17 +115,31 @@ def intersect_spheres(pack: sp.ScenePack, org, dirn, t_min, t_max):
     if n_s == 0:
         return t_max, jnp.full(org.shape[:-1], -1, jnp.int32)
 
-    a = vmath.length_squared(dirn)[:, None]
+    # ellipsoid instances present? (static: compiler emits sph_inv only
+    # when some sphere carries a non-similarity transform)
+    affine = pack.sph_inv.shape[0] > 0
+    a_plain = vmath.length_squared(dirn)[:, None]
 
     def body(start):
         idx = start + jnp.arange(_chunk_size(n_s), dtype=jnp.int32)
         valid = idx < n_s
         idx_c = jnp.clip(idx, 0, n_s - 1)
         center = pack.sph_center[idx_c]          # (C, 3)
-        radius = pack.sph_radius[idx_c]          # (C,)
         oc = org[:, None, :] - center[None, :, :]
-        half_b = jnp.sum(dirn[:, None, :] * oc, axis=-1)
-        c = jnp.sum(oc * oc, axis=-1) - (radius * radius)[None, :]
+        if affine:
+            # world -> unit-sphere space per instance; the quadratic's t
+            # parameter is preserved by the linear map
+            inv = pack.sph_inv[idx_c]            # (C, 3, 3)
+            oc_l = jnp.einsum("cij,ncj->nci", inv, oc)
+            d_l = jnp.einsum("cij,nj->nci", inv, dirn)
+            a = jnp.sum(d_l * d_l, axis=-1)
+            half_b = jnp.sum(d_l * oc_l, axis=-1)
+            c = jnp.sum(oc_l * oc_l, axis=-1) - 1.0
+        else:
+            radius = pack.sph_radius[idx_c]      # (C,)
+            a = a_plain
+            half_b = jnp.sum(dirn[:, None, :] * oc, axis=-1)
+            c = jnp.sum(oc * oc, axis=-1) - (radius * radius)[None, :]
         disc = half_b * half_b - a * c
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
         root1 = (-half_b - sq) / a
@@ -140,8 +154,14 @@ def intersect_spheres(pack: sp.ScenePack, org, dirn, t_min, t_max):
     return _chunked_argmin(n_s, t_max, body)
 
 
-def plane_hit(org, dirn, corner, uhalf, vhalf, normal, backface, t_min, t_max):
+def plane_hit(org, dirn, corner, dual_u, dual_v, normal, backface, t_min, t_max):
     """Finite-parallelogram test (reference: plane.rs:66-101).
+
+    `dual_u`/`dual_v` are the compile-time dual basis of the (possibly
+    non-orthogonal) half-span vectors (scene/compiler._plane_duals), so
+    uv = (local . dual_u, local . dual_v) is exact for sheared instances
+    too (the reference transforms the ray per instance instead,
+    transform.rs:122-139).
 
     Returns (t, u, v) with t = inf on miss; u, v in [0, 1] across the full
     2u x 2v span.  Shapes broadcast: ray (N, 1, 3) vs plane (1, C, 3).
@@ -161,9 +181,9 @@ def plane_hit(org, dirn, corner, uhalf, vhalf, normal, backface, t_min, t_max):
     t_uvsafe = jnp.where(in_t, t, 1.0)
     pos = org + dirn * t_uvsafe[..., None]
     local = pos - corner
-    # u = local . uhalf / (2 |uhalf|^2)  (reference inv_u, plane.rs:56)
-    u = jnp.sum(local * uhalf, axis=-1) / (2.0 * jnp.sum(uhalf * uhalf, axis=-1))
-    v = jnp.sum(local * vhalf, axis=-1) / (2.0 * jnp.sum(vhalf * vhalf, axis=-1))
+    # uv from the dual basis (reference inv_u/inv_v, plane.rs:56)
+    u = jnp.sum(local * dual_u, axis=-1)
+    v = jnp.sum(local * dual_v, axis=-1)
     in_uv = (u >= 0.0) & (u <= 1.0) & (v >= 0.0) & (v <= 1.0)
     hit = in_t & in_uv
     return jnp.where(hit, t, jnp.inf), u, v
@@ -180,8 +200,8 @@ def intersect_planes(pack: sp.ScenePack, org, dirn, t_min, t_max):
         idx_c = jnp.clip(idx, 0, n_p - 1)
         t, _, _ = plane_hit(
             org[:, None, :], dirn[:, None, :],
-            pack.pln_corner[idx_c][None], pack.pln_uhalf[idx_c][None],
-            pack.pln_vhalf[idx_c][None], pack.pln_normal[idx_c][None],
+            pack.pln_corner[idx_c][None], pack.pln_dual_u[idx_c][None],
+            pack.pln_dual_v[idx_c][None], pack.pln_normal[idx_c][None],
             pack.pln_backface[idx_c][None],
             t_min[:, None], t_max[:, None],
         )
@@ -344,26 +364,32 @@ def intersect_triangles(pack: sp.ScenePack, org, dirn, t_min, t_max,
 
 
 def _volume_boundary_span(pack: sp.ScenePack, org, dirn, vi):
-    """Entry/exit t of ray vs. the (convex) boundary of volume vi: sphere or
-    oriented box.  Returns (t_enter, t_exit, valid)."""
+    """Entry/exit t of ray vs. the (convex) boundary of volume vi —
+    sphere/ellipsoid, oriented box, or arbitrary convex triangle mesh
+    (reference: volume.rs:34-37 accepts any Hit boundary).
+    Returns (t_enter, t_exit, valid)."""
     kind = pack.vol_kind[vi]
     center = pack.vol_center[vi]
-    # sphere span
-    oc = org - center
-    a = vmath.length_squared(dirn)
-    half_b = vmath.dot(dirn, oc)
-    r = pack.vol_radius[vi]
-    c = vmath.length_squared(oc) - r * r
+    axes = pack.vol_axes[vi]  # (3, 3): world->unit-sphere map (VOL_SPHERE)
+    #                            or world->local rotation rows (VOL_BOX)
+
+    # sphere/ellipsoid span via the unit-sphere quadratic (axes = I/r for
+    # plain spheres — same roots, one code path for ellipsoid instances)
+    oc = jnp.einsum("ij,j->i", axes, org - center)
+    dl = jnp.einsum("ij,j->i", axes, dirn)
+    a = vmath.length_squared(dl)
+    half_b = vmath.dot(dl, oc)
+    c = vmath.length_squared(oc) - 1.0
     disc = half_b * half_b - a * c
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    s_enter = (-half_b - sq) / a
-    s_exit = (-half_b + sq) / a
+    a_safe = jnp.where(a == 0.0, 1.0, a)
+    s_enter = (-half_b - sq) / a_safe
+    s_exit = (-half_b + sq) / a_safe
     s_valid = disc > 0.0
 
     # oriented-box span: rotate into local frame, slab test
-    axes = pack.vol_axes[vi]  # (3, 3) world->local rows
-    lo_org = jnp.einsum("ij,j->i", axes, org - center)
-    lo_dir = jnp.einsum("ij,j->i", axes, dirn)
+    lo_org = oc  # == axes @ (org - center); box axes are unit rows / half
+    lo_dir = dl
     half = pack.vol_halfsize[vi]
     inv = 1.0 / lo_dir
     t0 = (-half - lo_org) * inv
@@ -372,10 +398,36 @@ def _volume_boundary_span(pack: sp.ScenePack, org, dirn, vi):
     b_exit = jnp.min(jnp.maximum(t0, t1))
     b_valid = b_enter < b_exit
 
+    # mesh span: all crossings of the padded triangle block; convex =>
+    # entry = min, exit = second distinct crossing (min t > entry)
+    v0 = pack.vol_tri_v0[vi]  # (TB, 3)
+    e1 = pack.vol_tri_e1[vi]
+    e2 = pack.vol_tri_e2[vi]
+    pvec = jnp.cross(dirn[None, :], e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+    bvec = org[None, :] - v0
+    u = jnp.sum(bvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(bvec, e1)
+    w = jnp.sum(dirn[None, :] * qvec, axis=-1) * inv_det
+    tt = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    ok = (jnp.abs(det) > DET_EPS) & (u >= 0.0) & (u <= 1.0)
+    ok &= (w >= 0.0) & (u + w <= 1.0)
+    ts = jnp.where(ok, tt, jnp.inf)
+    m_enter = jnp.min(ts)
+    m_exit = jnp.min(jnp.where(ts > m_enter + 1e-6, ts, jnp.inf))
+    m_valid = jnp.isfinite(m_enter) & jnp.isfinite(m_exit)
+    m_enter = jnp.where(m_valid, m_enter, 0.0)
+    m_exit = jnp.where(m_valid, m_exit, 0.0)
+
     is_sphere = kind == sp.VOL_SPHERE
-    t_enter = jnp.where(is_sphere, s_enter, b_enter)
-    t_exit = jnp.where(is_sphere, s_exit, b_exit)
-    valid = jnp.where(is_sphere, s_valid, b_valid)
+    is_mesh = kind == sp.VOL_MESH
+    t_enter = jnp.where(is_sphere, s_enter,
+                        jnp.where(is_mesh, m_enter, b_enter))
+    t_exit = jnp.where(is_sphere, s_exit,
+                       jnp.where(is_mesh, m_exit, b_exit))
+    valid = jnp.where(is_sphere, s_valid,
+                      jnp.where(is_mesh, m_valid, b_valid))
     return t_enter, t_exit, valid
 
 
@@ -522,13 +574,23 @@ def hit_attributes(pack: sp.ScenePack, org, dirn, hit: Hit) -> HitAttributes:
     t_eval = jnp.where(env | ~jnp.isfinite(hit_t_detached), 1.0, hit_t_detached)
 
     # --- differentiable t refinement per primitive kind ---
+    sph_affine = pack.sph_inv.shape[0] > 0
     if pack.sph_center.shape[0]:
         sc_ = pack.sph_center[prim]
-        sr_ = pack.sph_radius[prim]
-        oc = org - sc_
-        a_ = vmath.length_squared(dirn)
-        half_b = vmath.dot(dirn, oc)
-        c_ = vmath.length_squared(oc) - sr_ * sr_
+        if sph_affine:
+            inv_ = pack.sph_inv[prim]
+            oc = jnp.einsum("nij,nj->ni", inv_, org - sc_)
+            dl = jnp.einsum("nij,nj->ni", inv_, dirn)
+            a_ = vmath.length_squared(dl)
+            half_b = vmath.dot(dl, oc)
+            c_ = vmath.length_squared(oc) - 1.0
+        else:
+            sr_ = pack.sph_radius[prim]
+            oc = org - sc_
+            dl = dirn
+            a_ = vmath.length_squared(dirn)
+            half_b = vmath.dot(dirn, oc)
+            c_ = vmath.length_squared(oc) - sr_ * sr_
         sq = vmath.safe_sqrt(half_b * half_b - a_ * c_)
         r1 = (-half_b - sq) / a_
         r2 = (-half_b + sq) / a_
@@ -564,8 +626,20 @@ def hit_attributes(pack: sp.ScenePack, org, dirn, hit: Hit) -> HitAttributes:
     # --- sphere attributes (reference: sphere.rs:65-94) ---
     if pack.sph_center.shape[0]:
         sc = pack.sph_center[prim]
-        sr = pack.sph_radius[prim]
-        s_n = (pos - sc) / sr[:, None]
+        if sph_affine:
+            # object (unit-sphere) space point: uv/tangent live there,
+            # the world normal maps by the forward 3x3 — the reference's
+            # Transform normal quirk (transform.rs:133); tangent frames
+            # stay object-space exactly like transform.rs (which maps
+            # only pos and normal back to world)
+            s_n = jnp.einsum("nij,nj->ni", pack.sph_inv[prim], pos - sc)
+            w_n = vmath.normalize(
+                jnp.einsum("nij,nj->ni", pack.sph_fwd[prim], s_n), 1e-20
+            )
+        else:
+            sr = pack.sph_radius[prim]
+            s_n = (pos - sc) / sr[:, None]
+            w_n = s_n
         # clips keep arccos/atan2 gradients finite at poles & garbage lanes
         theta = jnp.arccos(jnp.clip(s_n[:, 1], -1.0 + 1e-7, 1.0 - 1e-7))
         pole = (jnp.abs(s_n[:, 0]) + jnp.abs(s_n[:, 2])) < 1e-12
@@ -574,7 +648,7 @@ def hit_attributes(pack: sp.ScenePack, org, dirn, hit: Hit) -> HitAttributes:
         s_tan = jnp.stack([-s_n[:, 2], jnp.zeros((n,), dtype), -s_n[:, 0]], axis=-1)
         s_bit = jnp.cross(s_n, s_tan)
         is_s = (hit.kind == sp.PRIM_SPHERE)[:, None]
-        normal = jnp.where(is_s, s_n, normal)
+        normal = jnp.where(is_s, w_n, normal)
         tangent = jnp.where(is_s, s_tan, tangent)
         bitangent = jnp.where(is_s, s_bit, bitangent)
         uv = jnp.where(is_s, s_uv, uv)
@@ -586,8 +660,9 @@ def hit_attributes(pack: sp.ScenePack, org, dirn, hit: Hit) -> HitAttributes:
         uh = pack.pln_uhalf[prim]
         vh = pack.pln_vhalf[prim]
         local = pos - cor
-        pu = vmath.dot(local, uh) / (2.0 * vmath.length_squared(uh))
-        pv = vmath.dot(local, vh) / (2.0 * vmath.length_squared(vh))
+        # dual-basis uv — exact for non-orthogonal (sheared) spans
+        pu = vmath.dot(local, pack.pln_dual_u[prim])
+        pv = vmath.dot(local, pack.pln_dual_v[prim])
         is_p = (hit.kind == sp.PRIM_PLANE)[:, None]
         normal = jnp.where(is_p, pack.pln_normal[prim], normal)
         tangent = jnp.where(is_p, vmath.normalize(uh, 1e-20), tangent)

@@ -69,7 +69,7 @@ def _plane_pdf_value(pack, li, origin, dirn):
     """Area-to-solid-angle pdf (reference: plane.rs:107-118)."""
     t, _, _ = isect.plane_hit(
         origin, dirn,
-        pack.pln_corner[li], pack.pln_uhalf[li], pack.pln_vhalf[li],
+        pack.pln_corner[li], pack.pln_dual_u[li], pack.pln_dual_v[li],
         pack.pln_normal[li], pack.pln_backface[li],
         jnp.asarray(1e-3, origin.dtype), jnp.full(origin.shape[:-1], jnp.inf, origin.dtype),
     )

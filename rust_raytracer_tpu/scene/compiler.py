@@ -38,10 +38,30 @@ class SceneStatic:
 _SIMILARITY_TOL = 1e-6
 
 
+def _is_uniform_similarity(m: np.ndarray) -> bool:
+    """True when the 3x3 is a rotation times a single uniform scale —
+    spheres stay spheres and the fast analytic path applies."""
+    a = m[:3, :3]
+    norms = np.linalg.norm(a, axis=0)
+    if not np.allclose(norms, norms[0], rtol=1e-5):
+        return False
+    r = a / np.maximum(norms, 1e-30)
+    return np.allclose(r.T @ r, np.eye(3), atol=1e-4)
+
+
+def _has_orthogonal_columns(m: np.ndarray) -> bool:
+    """True when the 3x3 columns are mutually orthogonal (rotation times
+    per-axis scale, no shear) — the analytic oriented-box slab test holds."""
+    a = m[:3, :3]
+    r = a / np.maximum(np.linalg.norm(a, axis=0), 1e-30)
+    return np.allclose(r.T @ r, np.eye(3), atol=1e-4)
+
+
 def _decompose_similarity(m: np.ndarray):
     """Split the 3x3 of an affine into (rotation-ish columns, per-axis scale).
-    Raises if columns are not orthogonal (shear is unsupported, matching the
-    reference Transform's stated assumptions, transform.rs:33)."""
+    Raises if columns are not orthogonal — callers that need exact
+    orthogonal frames (box volume slabs) fall back to mesh boundaries for
+    sheared instances."""
     a = m[:3, :3]
     norms = np.linalg.norm(a, axis=0)
     r = a / np.maximum(norms, 1e-30)
@@ -49,6 +69,19 @@ def _decompose_similarity(m: np.ndarray):
     if not np.allclose(gram, np.eye(3), atol=1e-4):
         raise ValueError("sheared transforms are not supported (columns must be orthogonal)")
     return r, norms
+
+
+def _plane_duals(u: np.ndarray, v: np.ndarray, n: np.ndarray):
+    """Dual basis of the (possibly non-orthogonal) span (u, v): vectors
+    du, dv with du.u = 1, du.v = 0, dv.v = 1, dv.u = 0 in the plane.
+    Scaled by 1/2 so uv over the full 2u x 2v parallelogram is [0,1]."""
+    vxn = np.cross(v, n)
+    uxn = np.cross(u, n)
+    d1 = float(np.dot(u, vxn))
+    d2 = float(np.dot(v, uxn))
+    du = vxn / (d1 if abs(d1) > 1e-30 else 1e-30)
+    dv = uxn / (d2 if abs(d2) > 1e-30 else 1e-30)
+    return du * 0.5, dv * 0.5
 
 
 def _xform_point(m, p):
@@ -206,12 +239,21 @@ class _Compiler:
         elif isinstance(obj, graph.Transform):
             self.compile_object(obj.obj, m @ obj.matrix)
         elif isinstance(obj, graph.Sphere):
-            _, scale = _decompose_similarity(m)
-            if not np.allclose(scale, scale[0], rtol=1e-5):
-                raise ValueError("non-uniform scale on spheres is unsupported")
             c = _xform_point(m, obj.center)
-            r = float(obj.radius) * float(scale[0])
-            self.spheres.append((c, r, self.compile_material(obj.material)))
+            if _is_uniform_similarity(m):
+                scale = float(np.linalg.norm(m[:3, 0]))
+                r = float(obj.radius) * scale
+                affine = None
+            else:
+                # ellipsoid instance: world -> unit-sphere map
+                # (the reference transforms the ray per instance,
+                # transform.rs:122-139)
+                r = float(obj.radius)
+                fwd = m[:3, :3] * r
+                affine = (np.linalg.inv(fwd), fwd)
+            self.spheres.append(
+                (c, r, self.compile_material(obj.material), affine)
+            )
             self.prim_of[id(obj)] = (sp.PRIM_SPHERE, len(self.spheres) - 1)
         elif isinstance(obj, graph.Plane):
             c = _xform_point(m, obj.center)
@@ -221,8 +263,10 @@ class _Compiler:
             area = float(np.linalg.norm(nvec)) * 4.0
             normal = nvec / max(np.linalg.norm(nvec), 1e-30)
             corner = c - u - v  # corners[3] in plane.rs:39-49
+            du, dv = _plane_duals(u, v, normal)
             self.planes.append(
-                (corner, u, v, normal, area, bool(obj.render_backface),
+                (corner, u, v, du, dv, normal, area,
+                 bool(obj.render_backface),
                  self.compile_material(obj.material))
             )
             self.prim_of[id(obj)] = (sp.PRIM_PLANE, len(self.planes) - 1)
@@ -289,32 +333,74 @@ class _Compiler:
         )
 
     def _compile_volume(self, vol: graph.Volume, m: np.ndarray):
+        """Constant-density media.  The reference accepts ANY convex `Hit`
+        as the boundary (volume.rs:34-37); here: spheres (incl. ellipsoid
+        instances) and orthogonal boxes are analytic, everything else —
+        sheared boxes, triangle meshes — compiles to a per-volume padded
+        triangle block whose entry/exit span the intersector computes by
+        min / second-min crossing (convex => exactly two)."""
         mat = self.compile_material(vol.material)
         boundary = vol.boundary
         bm = m.copy()
         while isinstance(boundary, graph.Transform):
             bm = bm @ boundary.matrix
             boundary = boundary.obj
+        nid = -1.0 / vol.density
         if isinstance(boundary, graph.Sphere):
-            _, scale = _decompose_similarity(bm)
             c = _xform_point(bm, boundary.center)
-            r = float(boundary.radius) * float(scale[0])
+            if _is_uniform_similarity(bm):
+                scale = float(np.linalg.norm(bm[:3, 0]))
+                r = float(boundary.radius) * scale
+                axes = np.eye(3) / r
+            else:
+                r = float(boundary.radius)
+                axes = np.linalg.inv(bm[:3, :3] * r)  # world -> unit sphere
             self.volumes.append(
-                (sp.VOL_SPHERE, c, r, np.eye(3), np.ones(3),
-                 -1.0 / vol.density, mat)
+                (sp.VOL_SPHERE, c, r, axes, np.ones(3), nid, mat, None)
             )
-        elif isinstance(boundary, graph.Box):
+            return
+        if isinstance(boundary, graph.Box) and _has_orthogonal_columns(bm):
             rot, scale = _decompose_similarity(bm)
             c = _xform_point(bm, boundary.center)
             half = np.asarray(boundary.size, np.float64) / 2.0 * scale
             self.volumes.append(
-                (sp.VOL_BOX, c, 0.0, rot.T, half, -1.0 / vol.density, mat)
+                (sp.VOL_BOX, c, 0.0, rot.T, half, nid, mat, None)
             )
+            return
+
+        # mesh boundary: transformed triangles of a Box tessellation or an
+        # arbitrary (convex) Mesh
+        if isinstance(boundary, graph.Box):
+            cx = np.asarray(boundary.center, np.float64)
+            hx = np.asarray(boundary.size, np.float64) / 2.0
+            corners = np.array([
+                cx + hx * np.array(s)
+                for s in [(-1, -1, -1), (1, -1, -1), (1, 1, -1), (-1, 1, -1),
+                          (-1, -1, 1), (1, -1, 1), (1, 1, 1), (-1, 1, 1)]
+            ])
+            quads = [(0, 1, 2, 3), (4, 5, 6, 7), (0, 1, 5, 4),
+                     (2, 3, 7, 6), (0, 3, 7, 4), (1, 2, 6, 5)]
+            tri_idx = []
+            for a, b, c2, d in quads:
+                tri_idx += [(a, b, c2), (a, c2, d)]
+            verts = corners
+            tris = np.asarray(tri_idx, np.int64)
+        elif isinstance(boundary, graph.Mesh):
+            verts = np.asarray(boundary.vertices, np.float64)
+            tris = np.asarray(boundary.triangles, np.int64)[:, :, 0]
         else:
             raise TypeError(
-                "volume boundaries must be spheres or boxes "
+                "volume boundaries must be spheres, boxes or meshes "
                 f"(got {type(boundary)})"
             )
+        verts_w = verts @ bm[:3, :3].T + bm[:3, 3]
+        v0 = verts_w[tris[:, 0]]
+        e1 = verts_w[tris[:, 1]] - v0
+        e2 = verts_w[tris[:, 2]] - v0
+        self.volumes.append(
+            (sp.VOL_MESH, np.zeros(3), 0.0, np.eye(3), np.ones(3),
+             nid, mat, (v0, e1, e2))
+        )
 
     # ---------------- lights ----------------
 
@@ -340,6 +426,12 @@ class _Compiler:
                 f"(unplaced {type(obj).__name__})"
             )
         kind, idx = kind_idx
+        if kind == sp.PRIM_SPHERE and self.spheres[idx][3] is not None:
+            raise ValueError(
+                "ellipsoid (non-uniformly scaled/sheared) spheres cannot be "
+                "importance-sampled lights — the reference's Transform "
+                "wrapper has pdf 0 there too (transform.rs:141-151)"
+            )
         kind_map = {
             sp.PRIM_SPHERE: sp.LIGHT_SPHERE,
             sp.PRIM_PLANE: sp.LIGHT_PLANE,
@@ -374,6 +466,20 @@ def compile_scene(scene: graph.SceneDef, dtype=jnp.float32):
     sph_center = np.array([s[0] for s in c.spheres], np.float64).reshape(ns, 3)
     sph_radius = np.array([s[1] for s in c.spheres], np.float64)
     sph_mat = np.array([s[2] for s in c.spheres], np.int32)
+    if any(s[3] is not None for s in c.spheres):
+        # ellipsoid instances present: build per-sphere world<->unit maps
+        # (identity spheres get I/r so one uniform code path applies)
+        sph_inv = np.stack([
+            s[3][0] if s[3] is not None else np.eye(3) / s[1]
+            for s in c.spheres
+        ])
+        sph_fwd = np.stack([
+            s[3][1] if s[3] is not None else np.eye(3) * s[1]
+            for s in c.spheres
+        ])
+    else:
+        sph_inv = np.zeros((0, 3, 3))
+        sph_fwd = np.zeros((0, 3, 3))
 
     # --- planes ---
     npl = len(c.planes)
@@ -381,10 +487,12 @@ def compile_scene(scene: graph.SceneDef, dtype=jnp.float32):
     pln_corner = np.array([p[0] for p in pln], np.float64).reshape(npl, 3)
     pln_u = np.array([p[1] for p in pln], np.float64).reshape(npl, 3)
     pln_v = np.array([p[2] for p in pln], np.float64).reshape(npl, 3)
-    pln_n = np.array([p[3] for p in pln], np.float64).reshape(npl, 3)
-    pln_area = np.array([p[4] for p in pln], np.float64)
-    pln_bf = np.array([p[5] for p in pln], bool)
-    pln_mat = np.array([p[6] for p in pln], np.int32)
+    pln_du = np.array([p[3] for p in pln], np.float64).reshape(npl, 3)
+    pln_dv = np.array([p[4] for p in pln], np.float64).reshape(npl, 3)
+    pln_n = np.array([p[5] for p in pln], np.float64).reshape(npl, 3)
+    pln_area = np.array([p[6] for p in pln], np.float64)
+    pln_bf = np.array([p[7] for p in pln], bool)
+    pln_mat = np.array([p[8] for p in pln], np.int32)
 
     # --- triangles: merge meshes, reorder by BVH, pad leaves ---
     if c.meshes:
@@ -470,6 +578,20 @@ def compile_scene(scene: graph.SceneDef, dtype=jnp.float32):
     vol_half = np.array([v[4] for v in c.volumes], np.float64).reshape(nv, 3)
     vol_nid = np.array([v[5] for v in c.volumes], np.float64)
     vol_mat = np.array([v[6] for v in c.volumes], np.int32)
+    # mesh-boundary triangle blocks, zero-padded to the largest boundary
+    tb = max([v[7][0].shape[0] for v in c.volumes if v[7] is not None],
+             default=0)
+    tb = max(tb, 1)
+    vol_tv0 = np.zeros((nv, tb, 3))
+    vol_te1 = np.zeros((nv, tb, 3))
+    vol_te2 = np.zeros((nv, tb, 3))
+    for vi, v in enumerate(c.volumes):
+        if v[7] is not None:
+            tv0, te1, te2 = v[7]
+            k = tv0.shape[0]
+            vol_tv0[vi, :k] = tv0
+            vol_te1[vi, :k] = te1
+            vol_te2[vi, :k] = te2
 
     # --- sky / sun ---
     nsun = len(c.suns)
@@ -480,7 +602,9 @@ def compile_scene(scene: graph.SceneDef, dtype=jnp.float32):
 
     pack = sp.ScenePack(
         sph_center=f(sph_center), sph_radius=f(sph_radius), sph_mat=i(sph_mat),
+        sph_inv=f(sph_inv), sph_fwd=f(sph_fwd),
         pln_corner=f(pln_corner), pln_uhalf=f(pln_u), pln_vhalf=f(pln_v),
+        pln_dual_u=f(pln_du), pln_dual_v=f(pln_dv),
         pln_normal=f(pln_n), pln_area=f(pln_area), pln_backface=b(pln_bf),
         pln_mat=i(pln_mat),
         tri_v0=f(v0), tri_e1=f(e1), tri_e2=f(e2),
@@ -497,6 +621,7 @@ def compile_scene(scene: graph.SceneDef, dtype=jnp.float32):
         vol_kind=i(vol_kind), vol_center=f(vol_center), vol_radius=f(vol_radius),
         vol_axes=f(vol_axes), vol_halfsize=f(vol_half),
         vol_neg_inv_density=f(vol_nid), vol_mat=i(vol_mat),
+        vol_tri_v0=f(vol_tv0), vol_tri_e1=f(vol_te1), vol_tri_e2=f(vol_te2),
         sky_tex=i(np.asarray(c.skies, np.int32)),
         sun_dir=f(sun_dir), sun_tex=i(sun_tex),
         mat_type=i(mtype), mat_albedo_tex=i(alb), mat_rough_tex=i(rough),

@@ -55,6 +55,7 @@ LIGHT_PROXY = 4  # invisible sampling sphere (assimp.rs:123-129)
 # Volume boundary kinds
 VOL_SPHERE = 0
 VOL_BOX = 1
+VOL_MESH = 2  # arbitrary convex triangle boundary (volume.rs:34-37)
 
 
 @jax.tree_util.register_dataclass
@@ -64,12 +65,27 @@ class ScenePack:
     sph_center: Any  # (S, 3)
     sph_radius: Any  # (S,)
     sph_mat: Any     # (S,) int32
+    # ellipsoid instancing: present (shape (S, 3, 3)) only when some
+    # sphere carries a non-similarity transform (non-uniform scale or
+    # shear; the reference transforms the ray per instance,
+    # transform.rs:122-139).  sph_inv maps world deltas into the unit
+    # sphere's object space; sph_fwd is the forward 3x3 used for the
+    # reference's normal-by-forward-matrix quirk (transform.rs:133).
+    sph_inv: Any     # (S, 3, 3) or (0, 3, 3)
+    sph_fwd: Any     # (S, 3, 3) or (0, 3, 3)
 
     # --- planes (reference: object/plane.rs); uhalf/vhalf are the half-span
-    #     vectors, corner = center - uhalf - vhalf ---
+    #     vectors, corner = center - uhalf - vhalf.  dual_u/dual_v are the
+    #     precomputed dual basis of (uhalf, vhalf) scaled so that
+    #     uv = (local . dual_u, local . dual_v) lands in [0,1] over the
+    #     full 2u x 2v span — exact for NON-ORTHOGONAL spans too (sheared
+    #     instances; the reference handles these by transforming the ray
+    #     per instance, transform.rs:122-139) ---
     pln_corner: Any    # (P, 3)
     pln_uhalf: Any     # (P, 3)
     pln_vhalf: Any     # (P, 3)
+    pln_dual_u: Any    # (P, 3)
+    pln_dual_v: Any    # (P, 3)
     pln_normal: Any    # (P, 3) unit
     pln_area: Any      # (P,) full (2u x 2v) area
     pln_backface: Any  # (P,) bool — render_backface flag
@@ -126,6 +142,12 @@ class ScenePack:
     vol_halfsize: Any   # (V, 3) box half extents in local space
     vol_neg_inv_density: Any  # (V,)
     vol_mat: Any        # (V,) int32
+    # VOL_MESH boundaries: padded per-volume triangle blocks (degenerate
+    # zero triangles never hit); the entry/exit span is the min and
+    # second-min crossing over the block (convex => exactly 2 crossings)
+    vol_tri_v0: Any     # (V, TB, 3)
+    vol_tri_e1: Any     # (V, TB, 3)
+    vol_tri_e2: Any     # (V, TB, 3)
 
     # --- sky / sun (reference: object/sky.rs, object/sun.rs) ---
     sky_tex: Any   # (K,) int32 emission texture node id
@@ -173,8 +195,11 @@ def empty_pack(dtype=jnp.float32) -> ScenePack:
     return ScenePack(
         sph_center=_empty((0, 3), dtype), sph_radius=_empty((0,), dtype),
         sph_mat=_empty((0,), i32),
+        sph_inv=_empty((0, 3, 3), dtype), sph_fwd=_empty((0, 3, 3), dtype),
         pln_corner=_empty((0, 3), dtype), pln_uhalf=_empty((0, 3), dtype),
-        pln_vhalf=_empty((0, 3), dtype), pln_normal=_empty((0, 3), dtype),
+        pln_vhalf=_empty((0, 3), dtype),
+        pln_dual_u=_empty((0, 3), dtype), pln_dual_v=_empty((0, 3), dtype),
+        pln_normal=_empty((0, 3), dtype),
         pln_area=_empty((0,), dtype), pln_backface=_empty((0,), jnp.bool_),
         pln_mat=_empty((0,), i32),
         tri_v0=_empty((0, 3), dtype), tri_e1=_empty((0, 3), dtype),
@@ -194,6 +219,8 @@ def empty_pack(dtype=jnp.float32) -> ScenePack:
         vol_radius=_empty((0,), dtype), vol_axes=_empty((0, 3, 3), dtype),
         vol_halfsize=_empty((0, 3), dtype),
         vol_neg_inv_density=_empty((0,), dtype), vol_mat=_empty((0,), i32),
+        vol_tri_v0=_empty((0, 1, 3), dtype), vol_tri_e1=_empty((0, 1, 3), dtype),
+        vol_tri_e2=_empty((0, 1, 3), dtype),
         sky_tex=_empty((0,), i32),
         sun_dir=_empty((0, 3), dtype), sun_tex=_empty((0,), i32),
         mat_type=_empty((0,), i32), mat_albedo_tex=_empty((0,), i32),
