@@ -11,7 +11,7 @@ from rust_raytracer_tpu import models
 from rust_raytracer_tpu.render.renderer import Renderer
 from rust_raytracer_tpu.utils import config as cfg
 
-W, SPP = 120, 36
+W, SPP = 80, 25
 scene = models.build("light_test")
 sc_cfg = cfg.merge_scene_config(scene.config, {"output_width": W})
 cam = cfg.make_camera(sc_cfg, cfg.RenderConfig(samples_per_pixel=SPP, max_depth=20))
@@ -25,6 +25,18 @@ ref = Image.open("/root/reference/samples/sample1.png").convert("RGB")
 ref = ref.resize((cam.image_width, cam.image_height), Image.BOX)
 ref = np.asarray(ref, np.float64)
 
+def blur3(img):
+    k = np.ones((3, 3)) / 9.0
+    out = np.zeros_like(img)
+    pad = np.pad(img, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    for dy in range(3):
+        for dx in range(3):
+            out += pad[dy:dy + img.shape[0], dx:dx + img.shape[1]] * k[dy, dx]
+    return out
+
+d_raw = np.abs(ours - ref)
+print("raw  mean", d_raw.mean(), "p95", np.percentile(d_raw, 95))
+ours = blur3(ours); ref = blur3(ref)
 d = np.abs(ours - ref)
 print("mean", d.mean(), "p95", np.percentile(d, 95), "p99", np.percentile(d, 99), "max", d.max())
 Image.fromarray(ours.astype(np.uint8)).save("/tmp/golden_ours.png")

@@ -1,6 +1,7 @@
-"""Experimental BVH8 kernel v3: parametric TILE, SMEM child table,
-branchless compacted stack pushes.  Benchmarked on the saved steady-state
-pool wavefront vs the production kernel."""
+"""BVH8 kernel v4: bitmask stack — one SMEM entry per (node, hitmask),
+pop cost proportional to hit children (ctz via float-exponent trick),
+single write-back, single push.  Scalar work per visit ~4x lower than the
+8-iteration push loop.  Benchmarked on the steady-state pool wavefront."""
 import functools
 import time
 import numpy as np
@@ -21,11 +22,11 @@ CLUSTER = 128
 DET_EPS = 1e-12
 BIG = 3.4e38
 T_MIN_STATIC = 1e-3
-STACK = 256
+STACK = 64  # entries are whole nodes now; depth bound is ~16
 
 
-def make_kernel(tile, rows_per_block, leaf_noop=False):
-    def _kernel(child_s, aabb8, ox, oy, oz, dx, dy, dz, tmax_ref,
+def make_kernel(tile):
+    def _kernel(child_s, valid_s, aabb8, ox, oy, oz, dx, dy, dz, tmax_ref,
                 tri_ref, t_out, i_out):
         pow2 = jnp.left_shift(
             jnp.int32(1), lax.broadcasted_iota(jnp.int32, (8, 1), 0)
@@ -54,17 +55,63 @@ def make_kernel(tile, rows_per_block, leaf_noop=False):
                 best_t_row[0:1, :] = t0
                 best_i[:, :] = jnp.full((tile, 1), -1, jnp.int32)
 
-                stack_ref[0] = jnp.int32(0)
+                def aabb_mask(v):
+                    """Test the packet against node v's 8 child boxes;
+                    returns the int32 hit bitmask."""
+                    lo_x = aabb8[v, :, 0:1]
+                    lo_y = aabb8[v, :, 1:2]
+                    lo_z = aabb8[v, :, 2:3]
+                    hi_x = aabb8[v, :, 3:4]
+                    hi_y = aabb8[v, :, 4:5]
+                    hi_z = aabb8[v, :, 5:6]
+                    tx0 = (lo_x - o_xr) * inv_xr
+                    tx1 = (hi_x - o_xr) * inv_xr
+                    ty0 = (lo_y - o_yr) * inv_yr
+                    ty1 = (hi_y - o_yr) * inv_yr
+                    tz0 = (lo_z - o_zr) * inv_zr
+                    tz1 = (hi_z - o_zr) * inv_zr
+                    near = jnp.maximum(
+                        jnp.maximum(jnp.minimum(tx0, tx1),
+                                    jnp.minimum(ty0, ty1)),
+                        jnp.minimum(tz0, tz1),
+                    )
+                    far = jnp.minimum(
+                        jnp.minimum(jnp.maximum(tx0, tx1),
+                                    jnp.maximum(ty0, ty1)),
+                        jnp.minimum(jnp.maximum(tz0, tz1),
+                                    best_t_row[0:1, :]),
+                    )
+                    anyc = jnp.any(near <= far, axis=1, keepdims=True)
+                    return jnp.sum(jnp.where(anyc, pow2, 0))
+
+                # root entry (valid_s masks empty child slots, which the
+                # min/max slab formulation would otherwise "hit")
+                root_bits = aabb_mask(jnp.int32(0)) & valid_s[0]
+                stack_ref[0] = root_bits  # root node id 0 << 8
 
                 def cond(sp):
                     return sp > 0
 
                 def body(sp):
-                    sp1 = sp - 1
-                    v = stack_ref[sp1]
+                    e = stack_ref[sp - 1]
+                    v = lax.shift_right_logical(e, 8)
+                    mask = e & 255
+                    # lowest set bit + its index via the f32 exponent
+                    low = mask & -mask
+                    c = lax.population_count(low - 1)
+                    rem = mask & (mask - 1)
+                    # write back the remaining siblings (or drop the entry)
+                    keep = rem != 0
+                    sp1 = sp - 1 + keep.astype(jnp.int32)
+
+                    @pl.when(keep)
+                    def _():
+                        stack_ref[sp - 1] = (e & ~255) | rem
+
+                    child = child_s[v * 8 + c]
 
                     def leaf_fn(sp1):
-                        cluster = -v - 1
+                        cluster = -child - 1
                         v0x = tri_ref[cluster, 0:1, :]
                         v0y = tri_ref[cluster, 1:2, :]
                         v0z = tri_ref[cluster, 2:3, :]
@@ -108,48 +155,15 @@ def make_kernel(tile, rows_per_block, leaf_noop=False):
                         return sp1
 
                     def internal_fn(sp1):
-                        lo_x = aabb8[v, :, 0:1]
-                        lo_y = aabb8[v, :, 1:2]
-                        lo_z = aabb8[v, :, 2:3]
-                        hi_x = aabb8[v, :, 3:4]
-                        hi_y = aabb8[v, :, 4:5]
-                        hi_z = aabb8[v, :, 5:6]
-                        tx0 = (lo_x - o_xr) * inv_xr
-                        tx1 = (hi_x - o_xr) * inv_xr
-                        ty0 = (lo_y - o_yr) * inv_yr
-                        ty1 = (hi_y - o_yr) * inv_yr
-                        tz0 = (lo_z - o_zr) * inv_zr
-                        tz1 = (hi_z - o_zr) * inv_zr
-                        near = jnp.maximum(
-                            jnp.maximum(jnp.minimum(tx0, tx1),
-                                        jnp.minimum(ty0, ty1)),
-                            jnp.minimum(tz0, tz1),
-                        )
-                        far = jnp.minimum(
-                            jnp.minimum(jnp.maximum(tx0, tx1),
-                                        jnp.maximum(ty0, ty1)),
-                            jnp.minimum(jnp.maximum(tz0, tz1),
-                                        best_t_row[0:1, :]),
-                        )
-                        anyc = jnp.any(near <= far, axis=1, keepdims=True)
-                        bits = jnp.sum(jnp.where(anyc, pow2, 0))
+                        bits = aabb_mask(child) & valid_s[child]
 
-                        # branchless compacted pushes: every slot written;
-                        # misses land on the slot of the next hit (or past
-                        # the final top) and are overwritten / never popped
-                        off = jnp.int32(0)
-                        for c in range(7, -1, -1):
-                            child = child_s[v * 8 + c]
-                            hitc = (lax.shift_right_logical(
-                                bits, jnp.int32(c)) & 1) > 0
-                            hitc &= child != 0
-                            stack_ref[sp1 + off] = child
-                            off = off + hitc.astype(jnp.int32)
-                        return sp1 + off
+                        @pl.when(bits != 0)
+                        def _():
+                            stack_ref[sp1] = lax.shift_left(child, 8) | bits
 
-                    if leaf_noop:
-                        return lax.cond(v < 0, lambda s: s, internal_fn, sp1)
-                    return lax.cond(v < 0, leaf_fn, internal_fn, sp1)
+                        return sp1 + (bits != 0).astype(jnp.int32)
+
+                    return lax.cond(child < 0, leaf_fn, internal_fn, sp1)
 
                 lax.while_loop(cond, body, jnp.int32(1))
 
@@ -170,12 +184,11 @@ def make_kernel(tile, rows_per_block, leaf_noop=False):
     return _kernel
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "leaf_noop"))
-def traverse(child8, aabb8, tri_geom, org, dirn, t_max, *, tile, leaf_noop=False):
+@functools.partial(jax.jit, static_argnames=("tile",))
+def traverse(child8, aabb8, tri_geom, org, dirn, t_max, *, tile=128):
     n = org.shape[0]
     n_tiles = n // tile
-    rows_per_block = max(1, 1024 // tile)
-    bt = min(rows_per_block, n_tiles)
+    bt = min(max(1, 1024 // tile), n_tiles)
 
     def rows(a):
         return a.reshape(n_tiles, tile)
@@ -188,9 +201,10 @@ def traverse(child8, aabb8, tri_geom, org, dirn, t_max, *, tile, leaf_noop=False
     ray_spec = pl.BlockSpec((bt, tile), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     t, idx = pl.pallas_call(
-        make_kernel(tile, bt, leaf_noop),
+        make_kernel(tile),
         grid=(n_tiles // bt,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)]
         + [ray_spec] * 7
         + [pl.BlockSpec(memory_space=pltpu.VMEM)],
@@ -202,7 +216,11 @@ def traverse(child8, aabb8, tri_geom, org, dirn, t_max, *, tile, leaf_noop=False
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
-    )(child8.reshape(-1), aabb8, *args, tri_geom)
+    )(child8.reshape(-1),
+      jnp.sum(jnp.where(child8 != 0,
+                        1 << jnp.arange(8, dtype=jnp.int32), 0),
+              axis=1).astype(jnp.int32),
+      aabb8, *args, tri_geom)
     return t.reshape(n), idx.reshape(n)
 
 
@@ -213,7 +231,6 @@ def main():
     org = jnp.asarray(d["org"])
     dirn = jnp.asarray(d["dirn"])
     alive = jnp.asarray(d["alive"])
-    # pre-sort exactly like the pool does
     perm = jnp.argsort(integ._compaction_key(org, dirn, alive))
     org, dirn, alive = org[perm], dirn[perm], alive[perm]
     tmax = jnp.where(alive, BIG, 0.0).astype(jnp.float32)
@@ -231,10 +248,12 @@ def main():
     prod = jax.jit(lambda o, dd, tm: pb8.intersect_triangles_bvh8(pack, o, dd, 1e-3, tm))
     t_ref, i_ref = bench(lambda: prod(org, dirn, tmax), "production TILE=128")
 
-    for tile, noop in ((128, False), (128, True), (64, True)):
+    for tile in (128, 64):
         f = lambda: traverse(pack.bvh8_child, pack.bvh8_aabb, pack.tri_geom,
-                             org, dirn, tmax, tile=tile, leaf_noop=noop)
-        t_v3, i_v3 = bench(f, f"v3 TILE={tile} leaf_noop={noop}")
+                             org, dirn, tmax, tile=tile)
+        t_v4, i_v4 = bench(f, f"v4 bitmask TILE={tile}")
+        match = float(jnp.mean((i_v4 == i_ref) | ~alive))
+        print(f"   id match vs prod: {match:.6f}", flush=True)
 
 
 if __name__ == "__main__":

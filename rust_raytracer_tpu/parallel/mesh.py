@@ -22,6 +22,37 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 
+def init_multihost(coordinator_address: str, num_processes: int,
+                   process_id: int, local_device_count: Optional[int] = None):
+    """Initialize the multi-host JAX runtime (SURVEY §5: the DCN path the
+    reference lacks — its only 'backend' is std::thread + join).
+
+    On TPU pods each host contributes its local chips over ICI and the
+    processes coordinate over DCN; on CPU (tests / dry runs) each process
+    contributes `local_device_count` virtual devices.  After this returns,
+    jax.devices() spans every process and `make_mesh()` builds a global
+    mesh — psum/all_gather ride whatever transport the platform provides.
+
+    Idempotent per-process: calling twice is a no-op.
+    """
+    import os
+
+    if local_device_count is not None:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags
+                + f" --xla_force_host_platform_device_count={local_device_count}"
+            ).strip()
+    if jax._src.distributed.global_state.client is not None:  # already up
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     """1-D device mesh.  Prefers the default backend; if it has fewer than
     n_devices (e.g. one real chip + a virtual CPU mesh from
