@@ -88,6 +88,7 @@ def make_kernel(tile):
                 # min/max slab formulation would otherwise "hit")
                 root_bits = aabb_mask(jnp.int32(0)) & valid_s[0]
                 stack_ref[0] = root_bits  # root node id 0 << 8
+                sp0 = (root_bits != 0).astype(jnp.int32)
 
                 def cond(sp):
                     return sp > 0
@@ -98,7 +99,9 @@ def make_kernel(tile):
                     mask = e & 255
                     # lowest set bit + its index via the f32 exponent
                     low = mask & -mask
-                    c = lax.population_count(low - 1)
+                    c = ((low >= 2).astype(jnp.int32)
+                         + (low >= 4) + (low >= 8) + (low >= 16)
+                         + (low >= 32) + (low >= 64) + (low >= 128))
                     rem = mask & (mask - 1)
                     # write back the remaining siblings (or drop the entry)
                     keep = rem != 0
@@ -165,7 +168,7 @@ def make_kernel(tile):
 
                     return lax.cond(child < 0, leaf_fn, internal_fn, sp1)
 
-                lax.while_loop(cond, body, jnp.int32(1))
+                lax.while_loop(cond, body, sp0)
 
                 t_out[pl.ds(j, 1), :] = best_t[:, :].reshape(1, tile)
                 i_out[pl.ds(j, 1), :] = best_i[:, :].reshape(1, tile)

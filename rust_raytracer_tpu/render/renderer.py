@@ -77,7 +77,7 @@ class Renderer:
             self._batch_fn = jax.jit(batch_fn)
 
     def render(self, spp: Optional[int] = None, progress: bool = False,
-               mode: str = "pool") -> filmmod.Film:
+               mode: str = "pool", metrics=None) -> filmmod.Film:
         """Render the full image.
 
         mode="pool" (default): persistent ray pool with dead-lane
@@ -88,11 +88,12 @@ class Renderer:
         RNG streams either way; pixel sums differ only in fp order.
         """
         if mode == "pool":
-            return self.render_pool(spp=spp, progress=progress)
+            return self.render_pool(spp=spp, progress=progress,
+                                    metrics=metrics)
         return self.render_batched(spp=spp, progress=progress)
 
     def render_pool(self, spp: Optional[int] = None,
-                    progress: bool = False) -> filmmod.Film:
+                    progress: bool = False, metrics=None) -> filmmod.Film:
         from . import pool as poolmod
 
         camera = self.camera
@@ -100,6 +101,9 @@ class Renderer:
         total_spp = camera.actual_spp if spp is None else spp
         n_pixels = w * h
         n_lanes = min(self.batch_size, n_pixels * total_spp)
+        if self.mesh is not None:
+            n_shards = self.mesh.devices.size
+            n_lanes = max(n_shards, n_lanes - n_lanes % n_shards)
 
         cb = None
         if progress:
@@ -109,7 +113,7 @@ class Renderer:
         accum = poolmod.render_pool(
             self.pack, self.static, camera, n_pixels, total_spp,
             n_lanes, seed=self.seed, dtype=self.dtype, progress=cb,
-            kernel=self.kernel,
+            kernel=self.kernel, metrics=metrics, mesh=self.mesh,
         )
         film = filmmod.Film(w, h)
         film.add_samples(jnp.asarray(accum).reshape(h, w, 3), total_spp)

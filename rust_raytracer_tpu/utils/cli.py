@@ -47,9 +47,20 @@ def main(argv=None):
         f"({spt} samples/thread)"
     )
 
-    with log.Timer("Done"):
-        film = renderer.render()
+    from . import metrics as metricsmod
 
+    render_metrics = None
+    if render_cfg.metrics:
+        render_metrics = metricsmod.RenderMetrics(
+            n_pixels=w * h, spp=spp, max_depth=camera.max_depth
+        )
+
+    with metricsmod.profiler_trace(render_cfg.profile_dir or None):
+        with log.Timer("Done"):
+            film = renderer.render(metrics=render_metrics)
+
+    if render_metrics is not None:
+        render_metrics.emit()
     film.save(render_cfg.output, tonemap="aces")
     log.info(f"Wrote {render_cfg.output}. Goodbye :)")
     return 0

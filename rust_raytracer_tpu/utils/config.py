@@ -33,6 +33,8 @@ class RenderConfig:
     light_bias: float = 0.25
     seed: int = 0
     output: str = "out.png"
+    metrics: bool = False        # emit a render-metrics JSON line at exit
+    profile_dir: str = ""        # jax.profiler trace directory ("" = off)
 
 
 def merge_scene_config(*layers: Dict[str, object]) -> Dict[str, object]:
@@ -100,6 +102,10 @@ def parse_args(argv: List[str]):
                 render.seed = int(value)
             elif key in ("o", "-output"):
                 render.output = value
+            elif key == "-metrics":
+                render.metrics = value.lower() not in ("0", "false", "no")
+            elif key == "-profile":
+                render.profile_dir = value
             # unknown keys ignored (parity with `_ => ()`)
         else:
             scene_name = arg
