@@ -136,3 +136,27 @@ key = np.asarray(_compaction_key(jnp.asarray(org2), jnp.asarray(dirn2), jnp.ones
 k2 = np.argsort(key)
 probe(org2[k2], dirn2[k2], "incoh-sorted")
 # per-ray need: single-ray packets would be ideal; estimate via tiny TILE? skip.
+
+# real steady-state wavefront (pool order = already compaction-sorted)
+d = np.load("/root/repo/.scratch/steady_state.npz")
+org3 = jnp.asarray(d["org"]); dirn3 = jnp.asarray(d["dirn"]); alive3 = jnp.asarray(d["alive"])
+t_max = jnp.where(alive3, np.float32(3.4e38), 0.0).astype(jnp.float32)
+N = org3.shape[0]
+t, i, p, l = traverse(pack.bvh8_aabb, pack.bvh8_child, pack.tri_geom, org3, dirn3, t_max)
+p = np.asarray(p)[:,0].astype(np.float64); l = np.asarray(l)[:,0].astype(np.float64)
+print(f"steady-state: pops/packet {p.mean():.0f}  leaves/packet {l.mean():.0f}  internal {p.mean()-l.mean():.0f}  total pops {p.sum():.0f} leaves {l.sum():.0f}")
+
+# timing of the instrumented kernel itself on the steady-state wavefront
+import time as _time
+def _bench(f, label, reps=3):
+    o = jax.block_until_ready(jax.tree_util.tree_leaves(f())[0])
+    t0 = _time.time()
+    for _ in range(reps):
+        o = f()
+    jax.block_until_ready(jax.tree_util.tree_leaves(f())[0])
+    print(f"{label}: {( _time.time()-t0)/reps*1e3:.1f} ms", flush=True)
+_bench(lambda: traverse(pack.bvh8_aabb, pack.bvh8_child, pack.tri_geom, org3, dirn3, t_max),
+       "instrumented kernel steady-state")
+from rust_raytracer_tpu.ops import pallas_bvh8 as _pb8
+_prod = jax.jit(lambda o, dd, tm: _pb8.intersect_triangles_bvh8(pack, o, dd, 1e-3, tm))
+_bench(lambda: _prod(org3, dirn3, t_max), "production kernel steady-state")
