@@ -285,6 +285,11 @@ def intersect_triangles(pack: sp.ScenePack, org, dirn, t_min, t_max,
     if n_tris == 0 or n_nodes == 0:
         return t_max, jnp.full(org.shape[:-1], -1, jnp.int32)
 
+    if kernel == "wavefront":
+        from . import pallas_wavefront as pwf
+
+        return pwf.intersect_triangles_wavefront(pack, org, dirn, t_min,
+                                                 t_max)
     if use_pallas(kernel):
         if _fits_vmem(pack):
             from . import pallas_bvh8 as pb8

@@ -171,10 +171,17 @@ def _kernel(aabb8, ox, oy, oz, dx, dy, dz, tmax_ref,
                     ty1 = (hi_y - o_yr) * inv_yr
                     tz0 = (lo_z - o_zr) * inv_zr
                     tz1 = (hi_z - o_zr) * inv_zr
+                    # clamp below by the ray interval start: without it,
+                    # boxes fully BEHIND the origin (near < far < 0) pass
+                    # the slab test and the packet descends into them —
+                    # bounce rays mid-scene pay ~2x visits, and dead lanes
+                    # (t_max = 0) re-walk their stale neighborhood instead
+                    # of exiting at the root (camera.rs:294 interval
+                    # lower bound).
                     near = jnp.maximum(
                         jnp.maximum(jnp.minimum(tx0, tx1),
                                     jnp.minimum(ty0, ty1)),
-                        jnp.minimum(tz0, tz1),
+                        jnp.maximum(jnp.minimum(tz0, tz1), T_MIN_STATIC),
                     )
                     far = jnp.minimum(
                         jnp.minimum(jnp.maximum(tx0, tx1),

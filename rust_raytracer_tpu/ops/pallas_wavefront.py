@@ -1,0 +1,310 @@
+"""Static cull -> extract -> batched-MT triangle intersection ("wavefront
+pipeline") — the third-generation TPU traversal, replacing in-kernel BVH
+walks for incoherent bounce wavefronts.
+
+Why (measured on the cornell_dragon steady-state wavefront, v5e):
+
+  * The BVH8 packet kernel (ops/pallas_bvh8.py) unions 128 rays per
+    packet: 567 leaf clusters visited per packet = a ~380 ms/step dense
+    Moller-Trumbore floor that no traversal trick removes.
+  * Per-ray exact cluster-AABB culling finds only ~6 clusters per ray
+    (~36 per 8-ray packet) — a 16x smaller MT workload — and the cull
+    itself is dense, branch-free vector work XLA runs in a few ms.
+  * In-kernel traversal pays ~350 ns per while-loop visit (scalar/sync
+    bound); a data-dependent work-LIST processed by a dense batched
+    kernel pays that tax once per 32 MT tiles instead of once per node.
+
+Pipeline (one XLA+Pallas program, jit-fused):
+
+  1. XLA dense cull: per-ray slab test against every cluster AABB
+     (pack.wf_cl_lo/hi), reduced to 8-ray-packet granularity.
+  2. XLA extraction: `nonzero` over the (packet, cluster) mask ->
+     packet-major pair list, statically capped (CAP overflow detectable).
+  3. Pallas MT kernel: for each pair, one native (8 rays x 128 tris)
+     Moller-Trumbore tile against the VMEM-resident cluster geometry,
+     with a running per-packet best and one-hot lane flushes.
+
+Correctness parity: identical hit rules to ops/pallas_bvh8.py /
+ops/intersect.py (reference: mesh.rs:61-101; traversal order is
+irrelevant to closest-hit semantics).  Rays are assumed pre-sorted by
+the integrator's compaction key so 8-lane packets are coherent — the
+result is exact for ANY order; only the pair count (and speed) varies.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+R = 8            # rays per packet (sublanes of an MT tile)
+CLUSTER = 128    # triangles per cluster (lanes); == pallas_intersect.CLUSTER
+CHUNK = 8192     # pairs per grid step (SMEM block)
+BATCH = 32       # pairs per inner loop iteration
+BANKS = 8        # independent best accumulators: consecutive same-packet
+                 # pairs would otherwise serialize on the running-best
+                 # min chain (measured 204 ns/pair -> latency-bound)
+PAIRS_PER_PACKET_CAP = 64  # static pair-list capacity per packet (mean ~36)
+
+BIG = 3.4e38
+T_MIN_STATIC = 1e-3  # reference: camera.rs:294 interval lower bound
+
+
+def _lane_iota():
+    return lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+
+
+def _lane_extract(tile, c):
+    """(R,128) tile, scalar lane c -> (R,1) column (one-hot reduce; Mosaic
+    rejects non-128-aligned dynamic lane slices)."""
+    return jnp.sum(jnp.where(_lane_iota() == c, tile, 0.0), axis=1,
+                   keepdims=True)
+
+
+def _mt_kernel(pk_ref, cl_ref, ox, oy, oz, dx, dy, dz, tmax_ref,
+               tri_ref, t_out, i_out, st, best_t, best_i, o_col, d_col):
+    """One grid step: CHUNK pairs from SMEM blocks against VMEM geometry.
+
+    st (SMEM): [0] = current packet id (-2: none yet).  Scratch (running
+    best, cached ray columns) persists across grid steps; pairs are
+    packet-major so each packet loads once and flushes once.
+    """
+    step = pl.program_id(0)
+    n_steps = pl.num_programs(0)
+
+    @pl.when(step == 0)
+    def _():
+        def init(g, _):
+            t_out[g] = tmax_ref[g]
+            i_out[g] = jnp.full((R, 128), -1, jnp.int32)
+            return 0
+
+        lax.fori_loop(0, ox.shape[0], init, 0)
+        st[0] = jnp.int32(-2)
+
+    def flush(prev_pk):
+        g = lax.div(prev_pk, 128)
+        c = lax.rem(prev_pk, 128)
+        # merge the banks (tree min with index tracking)
+        ts = [best_t[b] for b in range(BANKS)]
+        is_ = [best_i[b] for b in range(BANKS)]
+        while len(ts) > 1:
+            nt, ni = [], []
+            for k in range(0, len(ts), 2):
+                take = ts[k + 1] < ts[k]
+                nt.append(jnp.where(take, ts[k + 1], ts[k]))
+                ni.append(jnp.where(take, is_[k + 1], is_[k]))
+            ts, is_ = nt, ni
+        onehot = _lane_iota() == c
+        t_out[g] = jnp.where(onehot, ts[0], t_out[g])
+        i_out[g] = jnp.where(onehot, is_[0], i_out[g])
+
+    def load_packet(pk):
+        g = lax.div(pk, 128)
+        c = lax.rem(pk, 128)
+        o_col[0] = _lane_extract(ox[g], c)
+        o_col[1] = _lane_extract(oy[g], c)
+        o_col[2] = _lane_extract(oz[g], c)
+        d_col[0] = _lane_extract(dx[g], c)
+        d_col[1] = _lane_extract(dy[g], c)
+        d_col[2] = _lane_extract(dz[g], c)
+        tm = _lane_extract(tmax_ref[g], c)
+        best_t[...] = jnp.broadcast_to(tm[None], (BANKS, R, 1))
+        best_i[...] = jnp.full((BANKS, R, 1), -1, jnp.int32)
+
+    def body(it, _):
+        for b in range(BATCH):
+            j = it * BATCH + b
+            pk = pk_ref[j]
+            valid = pk >= 0
+            prev = st[0]
+            change = valid & (pk != prev)
+
+            @pl.when(change)
+            def _(pk=pk, prev=prev):
+                @pl.when(prev >= 0)
+                def _():
+                    flush(prev)
+
+                load_packet(pk)
+                st[0] = pk
+
+            @pl.when(valid)
+            def _(j=j):
+                cl = cl_ref[j]
+                o_x = o_col[0]
+                o_y = o_col[1]
+                o_z = o_col[2]
+                d_x = d_col[0]
+                d_y = d_col[1]
+                d_z = d_col[2]
+                blk = tri_ref[cl]  # one (GEOM_ROWS, 128) dynamic load
+                v0x = blk[0:1, :]
+                v0y = blk[1:2, :]
+                v0z = blk[2:3, :]
+                e1x = blk[3:4, :]
+                e1y = blk[4:5, :]
+                e1z = blk[5:6, :]
+                e2x = blk[6:7, :]
+                e2y = blk[7:8, :]
+                e2z = blk[8:9, :]
+                back = blk[9:10, :]
+                # Moller-Trumbore (reference: mesh.rs:61-101)
+                px = d_y * e2z - d_z * e2y
+                py = d_z * e2x - d_x * e2z
+                pz = d_x * e2y - d_y * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                dd = jnp.where(back > 0.5, jnp.abs(det), det)
+                ok = dd > 1e-12
+                inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+                bx = o_x - v0x
+                by = o_y - v0y
+                bz = o_z - v0z
+                u = (bx * px + by * py + bz * pz) * inv_det
+                qx = by * e1z - bz * e1y
+                qy = bz * e1x - bx * e1z
+                qz = bx * e1y - by * e1x
+                w = (d_x * qx + d_y * qy + d_z * qz) * inv_det
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                ok &= (u >= 0.0) & (u <= 1.0) & (w >= 0.0) & (u + w <= 1.0)
+                bank = b % BANKS  # static: breaks the serial best chain
+                bt = best_t[bank]
+                ok &= (t > T_MIN_STATIC) & (t < bt)
+                tt = jnp.where(ok, t, BIG)
+                new_t = jnp.min(tt, axis=1, keepdims=True)
+                new_i = jnp.argmin(tt, axis=1).astype(jnp.int32)[:, None]
+                better = new_t < bt
+                best_i[bank] = jnp.where(better, cl * CLUSTER + new_i,
+                                         best_i[bank])
+                best_t[bank] = jnp.where(better, new_t, bt)
+
+        return 0
+
+    lax.fori_loop(0, CHUNK // BATCH, body, 0)
+
+    @pl.when(step == n_steps - 1)
+    def _():
+        prev = st[0]
+
+        @pl.when(prev >= 0)
+        def _():
+            flush(prev)
+
+
+def _to_groups(a):
+    """(N,) -> (G, R, 128): [g, r, c] = a[(g*128 + c)*R + r]."""
+    return jnp.transpose(a.reshape(-1, 128, R), (0, 2, 1))
+
+
+def _from_groups(a):
+    return jnp.transpose(a, (0, 2, 1)).reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pipeline(cl_lo, cl_hi, tri_geom, org, dirn, t_max, *, interpret):
+    """org/dirn (N,3), t_max (N,) with N a multiple of 128*R.
+    Returns (t, slot, n_pairs) in caller lane order."""
+    n = org.shape[0]
+    n_pk = n // R
+    nc = cl_lo.shape[0]
+
+    # ---- 1. dense per-ray cull, reduced to packets (XLA) ----
+    # Chunked over ray blocks via lax.map so the (block, nc, 3) slab
+    # intermediates stay bounded regardless of XLA fusion decisions
+    # (the full (N, nc) f32 intermediates would be ~10 GB).
+    cull_block = 8192 if n % 8192 == 0 else 128 * R
+    nb = n // cull_block
+
+    def _cull(args):
+        o_b, d_b, tm_b = args
+        inv = 1.0 / d_b
+        t0 = (cl_lo[None] - o_b[:, None]) * inv[:, None]
+        t1 = (cl_hi[None] - o_b[:, None]) * inv[:, None]
+        near = jnp.maximum(jnp.minimum(t0, t1).max(2), T_MIN_STATIC)
+        far = jnp.minimum(jnp.maximum(t0, t1).min(2), tm_b[:, None])
+        hit = near <= far
+        return hit.reshape(cull_block // R, R, nc).any(1)
+
+    pk_hit = lax.map(
+        _cull,
+        (org.reshape(nb, cull_block, 3), dirn.reshape(nb, cull_block, 3),
+         t_max.reshape(nb, cull_block)),
+    ).reshape(n_pk, nc)
+
+    # ---- 2. packet-major pair extraction ----
+    cap = n_pk * PAIRS_PER_PACKET_CAP
+    cap = -(-cap // CHUNK) * CHUNK
+    flat = pk_hit.reshape(-1)
+    (idx,) = jnp.nonzero(flat, size=cap, fill_value=-1)
+    n_pairs = jnp.sum(flat, dtype=jnp.int32)
+    pk = jnp.where(idx >= 0, idx // nc, -1).astype(jnp.int32)
+    cl = jnp.where(idx >= 0, idx % nc, 0).astype(jnp.int32)
+
+    # ---- 3. batched MT over pairs (Pallas) ----
+    rays_g = [
+        _to_groups(org[:, 0]), _to_groups(org[:, 1]), _to_groups(org[:, 2]),
+        _to_groups(dirn[:, 0]), _to_groups(dirn[:, 1]), _to_groups(dirn[:, 2]),
+    ]
+    tmax_g = _to_groups(jnp.minimum(t_max, BIG))
+    G = rays_g[0].shape[0]
+    blk = pl.BlockSpec((CHUNK,), lambda i: (i,), memory_space=pltpu.SMEM)
+    fullc = pl.BlockSpec((G, R, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    tri_spec = pl.BlockSpec(tri_geom.shape, lambda i: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    t, slot = pl.pallas_call(
+        _mt_kernel,
+        grid=(cap // CHUNK,),
+        in_specs=[blk, blk] + [fullc] * 7 + [tri_spec],
+        out_specs=[fullc, fullc],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, R, 128), jnp.float32),
+            jax.ShapeDtypeStruct((G, R, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((BANKS, R, 1), jnp.float32),
+            pltpu.VMEM((BANKS, R, 1), jnp.int32),
+            pltpu.VMEM((3, R, 1), jnp.float32),
+            pltpu.VMEM((3, R, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(pk, cl, *rays_g, tmax_g, tri_geom)
+    return _from_groups(t), _from_groups(slot), n_pairs
+
+
+def intersect_triangles_wavefront(pack, org, dirn, t_min, t_max,
+                                  interpret: bool = False):
+    """Closest triangle hit via the cull->MT pipeline.  Drop-in for
+    ops.pallas_bvh8.intersect_triangles_bvh8 (same contract: returns
+    (t, slot) with t == t_max where nothing was hit; t_min is the static
+    T_MIN).  Rays should be compaction-sorted for speed (not required
+    for correctness)."""
+    n = org.shape[0]
+    if pack.tri_geom.shape[0] == 0 or pack.wf_cl_lo.shape[0] == 0:
+        return t_max, jnp.full((n,), -1, jnp.int32)
+
+    group = 128 * R
+    n_pad = -(-n // group) * group
+    if n_pad != n:
+        padn = n_pad - n
+        org = jnp.concatenate([org, jnp.ones((padn, 3), org.dtype)], 0)
+        dirn = jnp.concatenate([dirn, jnp.ones((padn, 3), org.dtype)], 0)
+        t_max = jnp.concatenate([t_max, jnp.zeros((padn,), t_max.dtype)], 0)
+
+    t, slot, _ = _pipeline(
+        pack.wf_cl_lo, pack.wf_cl_hi, pack.tri_geom,
+        org.astype(jnp.float32), dirn.astype(jnp.float32),
+        t_max.astype(jnp.float32), interpret=interpret,
+    )
+    t = t[:n]
+    slot = slot[:n]
+    miss = slot < 0
+    return jnp.where(miss, jnp.asarray(t_max[:n], jnp.float32), t), slot

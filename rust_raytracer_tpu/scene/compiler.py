@@ -557,6 +557,16 @@ def compile_scene(scene: graph.SceneDef, dtype=jnp.float32):
 
         b8 = bvh8.collapse(bvh, cluster)
         bvh8_aabb, bvh8_child = b8.aabb8, b8.child8
+
+        # tight per-cluster AABBs (the BVH's SAH leaf boxes) for the
+        # static cull->MT wavefront pipeline (ops/pallas_wavefront.py)
+        n_cl = len(tri_order) // cluster
+        wf_cl_lo = np.full((n_cl, 3), 3.4e38, np.float32)
+        wf_cl_hi = np.full((n_cl, 3), -3.4e38, np.float32)
+        leafs = bvh_leaf >= 0
+        cl_ids = bvh_leaf[leafs] // cluster
+        wf_cl_lo[cl_ids] = bvh_min[leafs]
+        wf_cl_hi[cl_ids] = bvh_max[leafs]
     else:
         v0 = e1 = e2 = n0 = n1 = n2 = np.zeros((0, 3))
         uv0 = uv1 = uv2 = np.zeros((0, 2))
@@ -568,6 +578,8 @@ def compile_scene(scene: graph.SceneDef, dtype=jnp.float32):
         tri_geom = np.zeros((0, 16, 128), np.float32)
         bvh8_aabb = np.zeros((0, 8, 128), np.float32)
         bvh8_child = np.zeros((0, 8), np.int32)
+        wf_cl_lo = np.zeros((0, 3), np.float32)
+        wf_cl_hi = np.zeros((0, 3), np.float32)
 
     # --- volumes ---
     nv = len(c.volumes)
@@ -618,6 +630,8 @@ def compile_scene(scene: graph.SceneDef, dtype=jnp.float32):
         tri_geom=jnp.asarray(tri_geom),
         bvh8_aabb=jnp.asarray(bvh8_aabb),
         bvh8_child=jnp.asarray(bvh8_child),
+        wf_cl_lo=jnp.asarray(wf_cl_lo),
+        wf_cl_hi=jnp.asarray(wf_cl_hi),
         vol_kind=i(vol_kind), vol_center=f(vol_center), vol_radius=f(vol_radius),
         vol_axes=f(vol_axes), vol_halfsize=f(vol_half),
         vol_neg_inv_density=f(vol_nid), vol_mat=i(vol_mat),

@@ -134,6 +134,12 @@ class ScenePack:
     bvh8_aabb: Any      # (n8, 8, 128) f32
     bvh8_child: Any     # (n8, 8) int32
 
+    # --- cluster AABBs for the static cull->MT wavefront pipeline
+    #     (ops/pallas_wavefront.py): tight SAH leaf boxes of the cluster
+    #     BVH, one row per tri_geom cluster ---
+    wf_cl_lo: Any       # (n_clusters, 3) f32
+    wf_cl_hi: Any       # (n_clusters, 3) f32
+
     # --- constant-density volumes (reference: object/volume.rs) ---
     vol_kind: Any       # (V,) int32: VOL_SPHERE | VOL_BOX
     vol_center: Any     # (V, 3) sphere center / box center (world)
@@ -214,6 +220,8 @@ def empty_pack(dtype=jnp.float32) -> ScenePack:
         bvh_rows=_empty((0, 16), jnp.float32),
         tri_geom=_empty((0, 16, 128), jnp.float32),
         bvh8_aabb=_empty((0, 8, 128), jnp.float32),
+        wf_cl_lo=_empty((0, 3), jnp.float32),
+        wf_cl_hi=_empty((0, 3), jnp.float32),
         bvh8_child=_empty((0, 8), jnp.int32),
         vol_kind=_empty((0,), i32), vol_center=_empty((0, 3), dtype),
         vol_radius=_empty((0,), dtype), vol_axes=_empty((0, 3, 3), dtype),

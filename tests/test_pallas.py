@@ -126,3 +126,54 @@ def test_bvh8_respects_tmax_and_padding(soup):
     np.testing.assert_array_equal(i_cap[::2] >= 0, hit[::2])
     odd_hit = hit[1::2]
     assert not np.any(i_cap[1::2][odd_hit] >= 0)
+
+
+def test_wavefront_matches_jnp_traversal(soup):
+    """The static cull->MT wavefront pipeline (ops/pallas_wavefront.py)
+    against the jnp threaded walk on the same pack, including ragged lane
+    counts (padding) and finite/zero t_max (dead-lane) semantics."""
+    from rust_raytracer_tpu.ops import pallas_wavefront as pwf
+
+    n = 384 + 5  # ragged: exercises the group pad path
+    org, dirn = _rays(n, seed=7)
+    t_min = jnp.full((n,), 1e-3, jnp.float32)
+    t_max = jnp.full((n,), np.inf, jnp.float32)
+
+    t_ref, i_ref = isect.intersect_triangles(soup, org, dirn, t_min, t_max)
+    t_wf, i_wf = pwf.intersect_triangles_wavefront(
+        soup, org, dirn, t_min, t_max, interpret=True
+    )
+
+    t_ref = np.asarray(t_ref)
+    t_wf = np.asarray(t_wf)
+    i_ref = np.asarray(i_ref)
+    i_wf = np.asarray(i_wf)
+
+    hit_ref = np.isfinite(t_ref)
+    hit_wf = i_wf >= 0
+    np.testing.assert_array_equal(hit_ref, hit_wf)
+    np.testing.assert_allclose(t_wf[hit_wf], t_ref[hit_ref], rtol=2e-5,
+                               atol=1e-6)
+    assert (i_wf[hit_wf] == i_ref[hit_ref]).mean() > 0.999
+
+    # dead lanes (t_max = 0) must produce no pairs and report misses at 0
+    t_d, i_d = pwf.intersect_triangles_wavefront(
+        soup, org, dirn, t_min, jnp.zeros((n,), jnp.float32), interpret=True
+    )
+    assert (np.asarray(i_d) < 0).all()
+    np.testing.assert_array_equal(np.asarray(t_d), 0.0)
+
+    # finite t_max truncates hits exactly like the jnp path
+    cap = float(np.median(t_ref[hit_ref])) if hit_ref.any() else 1.0
+    t_c, i_c = pwf.intersect_triangles_wavefront(
+        soup, org, dirn, t_min, jnp.full((n,), cap, jnp.float32),
+        interpret=True,
+    )
+    t_rc, i_rc = isect.intersect_triangles(
+        soup, org, dirn, t_min, jnp.full((n,), cap, jnp.float32)
+    )
+    hit_c = np.asarray(i_c) >= 0
+    hit_rc = np.asarray(i_rc) >= 0
+    np.testing.assert_array_equal(hit_c, hit_rc)
+    np.testing.assert_allclose(np.asarray(t_c)[hit_c],
+                               np.asarray(t_rc)[hit_rc], rtol=2e-5, atol=1e-6)
