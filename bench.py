@@ -20,7 +20,8 @@ Baseline: the reference renders cornell_dragon 1200x1200@1000spp in ~41 min
 on an M3 Pro with 10 threads ~= 0.59 M pixel-samples/s (BASELINE.md).
 
 Knobs (env): RRT_BENCH_SCENE, RRT_BENCH_WIDTH, RRT_BENCH_SPP,
-RRT_BENCH_LANES, RRT_BENCH_DEPTH, RRT_BENCH_SKIP_BWD.
+RRT_BENCH_LANES, RRT_BENCH_DEPTH, RRT_BENCH_SKIP_BWD,
+RRT_BENCH_KERNEL (auto|wavefront|jnp).
 """
 import json
 import os
@@ -92,6 +93,7 @@ def main():
     spp = int(os.environ.get("RRT_BENCH_SPP", "2"))
     n_lanes = int(os.environ.get("RRT_BENCH_LANES", str(1 << 18)))
     max_depth = int(os.environ.get("RRT_BENCH_DEPTH", "20"))
+    kernel = os.environ.get("RRT_BENCH_KERNEL", "auto")
 
     t0 = time.time()
     scene = models.build(scene_name)
@@ -107,7 +109,8 @@ def main():
 
     # warmup / compile: one pool step on a throwaway state
     state = poolmod.init_state(n_lanes, n_pixels)
-    step = poolmod.make_step(r.pack, r.static, camera, total, spp, 0)
+    step = poolmod.make_step(r.pack, r.static, camera, total, spp, 0,
+                             kernel=kernel)
     t0 = time.time()
     state = step(r.pack, state)
     jax.block_until_ready(state.accum)
@@ -122,7 +125,7 @@ def main():
     t0 = time.time()
     accum = poolmod.render_pool(
         r.pack, r.static, camera, n_pixels, spp, n_lanes, seed=0,
-        metrics=metrics,
+        metrics=metrics, kernel=kernel,
     )
     jax.block_until_ready(accum)
     elapsed = time.time() - t0

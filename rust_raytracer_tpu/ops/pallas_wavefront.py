@@ -222,10 +222,16 @@ def _pipeline(cl_lo, cl_hi, tri_geom, org, dirn, t_max, *, interpret):
     def _cull(args):
         o_b, d_b, tm_b = args
         inv = 1.0 / d_b
-        t0 = (cl_lo[None] - o_b[:, None]) * inv[:, None]
-        t1 = (cl_hi[None] - o_b[:, None]) * inv[:, None]
-        near = jnp.maximum(jnp.minimum(t0, t1).max(2), T_MIN_STATIC)
-        far = jnp.minimum(jnp.maximum(t0, t1).min(2), tm_b[:, None])
+        # per-axis (block, nc) arrays keep the cluster axis minor — a
+        # single (block, nc, 3) broadcast would put the 3-vector on the
+        # minor dim (3/128 lane occupancy, measured ~7x slower pipeline)
+        near = jnp.full((o_b.shape[0], nc), T_MIN_STATIC, jnp.float32)
+        far = jnp.broadcast_to(tm_b[:, None], (o_b.shape[0], nc))
+        for ax in range(3):
+            t0 = (cl_lo[None, :, ax] - o_b[:, ax, None]) * inv[:, ax, None]
+            t1 = (cl_hi[None, :, ax] - o_b[:, ax, None]) * inv[:, ax, None]
+            near = jnp.maximum(near, jnp.minimum(t0, t1))
+            far = jnp.minimum(far, jnp.maximum(t0, t1))
         hit = near <= far
         return hit.reshape(cull_block // R, R, nc).any(1)
 
@@ -236,13 +242,28 @@ def _pipeline(cl_lo, cl_hi, tri_geom, org, dirn, t_max, *, interpret):
     ).reshape(n_pk, nc)
 
     # ---- 2. packet-major pair extraction ----
-    cap = n_pk * PAIRS_PER_PACKET_CAP
-    cap = -(-cap // CHUNK) * CHUNK
-    flat = pk_hit.reshape(-1)
-    (idx,) = jnp.nonzero(flat, size=cap, fill_value=-1)
-    n_pairs = jnp.sum(flat, dtype=jnp.int32)
-    pk = jnp.where(idx >= 0, idx // nc, -1).astype(jnp.int32)
-    cl = jnp.where(idx >= 0, idx % nc, 0).astype(jnp.int32)
+    # Row-wise top_k instead of a global nonzero: jnp.nonzero over the
+    # (P * nc) mask measured 2.9 s on TPU; top_k over (P, nc) rows is a
+    # fused hardware sort costing ~ms and directly yields the per-packet
+    # padded slot layout.  Score (nc - c) for hit clusters, 0 otherwise:
+    # the top K scores are the K lowest-index hit clusters of the row.
+    k = min(PAIRS_PER_PACKET_CAP, nc)
+    score = jnp.where(
+        pk_hit, jnp.int32(nc) - lax.broadcasted_iota(jnp.int32, pk_hit.shape, 1),
+        jnp.int32(0),
+    )
+    top, _ = lax.top_k(score, k)                        # (P, k) descending
+    valid = top > 0
+    cl = jnp.where(valid, jnp.int32(nc) - top, 0).reshape(-1)
+    pk = jnp.where(
+        valid, lax.broadcasted_iota(jnp.int32, (n_pk, k), 0), -1
+    ).reshape(-1)
+    n_pairs = jnp.sum(pk_hit, dtype=jnp.int32)
+    cap = n_pk * k
+    if cap % CHUNK:
+        pad_p = -(-cap // CHUNK) * CHUNK - cap
+        pk = jnp.concatenate([pk, jnp.full((pad_p,), -1, jnp.int32)])
+        cl = jnp.concatenate([cl, jnp.zeros((pad_p,), jnp.int32)])
 
     # ---- 3. batched MT over pairs (Pallas) ----
     rays_g = [
