@@ -286,10 +286,16 @@ def intersect_triangles(pack: sp.ScenePack, org, dirn, t_min, t_max,
         return t_max, jnp.full(org.shape[:-1], -1, jnp.int32)
 
     if kernel == "wavefront":
-        from . import pallas_wavefront as pwf
+        # The cull->MT pipeline is a real Mosaic kernel with the whole
+        # tri_geom VMEM-resident: only valid on a TPU backend and for
+        # scenes that fit.  Otherwise fall through to the auto selection
+        # (BVH8 / streaming / jnp) rather than failing to compile.
+        if use_pallas("auto") and pack.tri_geom.size * 4 <= _BVH8_VMEM_BUDGET:
+            from . import pallas_wavefront as pwf
 
-        return pwf.intersect_triangles_wavefront(pack, org, dirn, t_min,
-                                                 t_max)
+            return pwf.intersect_triangles_wavefront(pack, org, dirn, t_min,
+                                                     t_max)
+        kernel = "auto"
     if use_pallas(kernel):
         if _fits_vmem(pack):
             from . import pallas_bvh8 as pb8

@@ -27,8 +27,16 @@ Pipeline (one XLA+Pallas program, jit-fused):
 Correctness parity: identical hit rules to ops/pallas_bvh8.py /
 ops/intersect.py (reference: mesh.rs:61-101; traversal order is
 irrelevant to closest-hit semantics).  Rays are assumed pre-sorted by
-the integrator's compaction key so 8-lane packets are coherent — the
-result is exact for ANY order; only the pair count (and speed) varies.
+the integrator's compaction key so 8-lane packets are coherent.
+
+Capacity caveat: each packet keeps at most PAIRS_PER_PACKET_CAP
+clusters — the CAP with the *smallest slab-entry t* (the pair list is
+sorted near-to-far per packet).  A packet overlapping more clusters
+than the cap drops the farthest ones, which can miss the true closest
+hit only if a hit hides behind CAP nearer clusters.  `_pipeline`
+returns the number of overflowing packets; the wrapper warns when
+RRT_WF_CHECK is set.  The mean is ~37 pairs/packet on the 870k-tri
+benchmark (cap 64).
 """
 from __future__ import annotations
 
@@ -233,35 +241,46 @@ def _pipeline(cl_lo, cl_hi, tri_geom, org, dirn, t_max, *, interpret):
             near = jnp.maximum(near, jnp.minimum(t0, t1))
             far = jnp.minimum(far, jnp.maximum(t0, t1))
         hit = near <= far
-        return hit.reshape(cull_block // R, R, nc).any(1)
+        # per-packet sort key: monotone int encoding of the packet-min
+        # slab entry t (IEEE positive floats order as their int bits), -1
+        # where no ray in the packet hits the cluster.  top_k of the key
+        # = the packet's clusters sorted near-to-far.
+        tent = jnp.min(
+            jnp.where(hit, near, jnp.inf).reshape(-1, R, nc), axis=1
+        )
+        key = jnp.where(
+            jnp.isfinite(tent),
+            jnp.int32(0x7FFFFFFF)
+            - lax.bitcast_convert_type(tent, jnp.int32),
+            jnp.int32(-1),
+        )
+        return key
 
-    pk_hit = lax.map(
+    pk_key = lax.map(
         _cull,
         (org.reshape(nb, cull_block, 3), dirn.reshape(nb, cull_block, 3),
          t_max.reshape(nb, cull_block)),
     ).reshape(n_pk, nc)
+    pk_cnt = jnp.sum(pk_key >= 0, axis=1, dtype=jnp.int32)
 
     # ---- 2. packet-major pair extraction ----
     # Row-wise top_k instead of a global nonzero: jnp.nonzero over the
     # (P * nc) mask measured 2.9 s on TPU; top_k over (P, nc) rows is a
     # fused hardware sort costing ~ms and directly yields the per-packet
-    # padded slot layout.  Score (nc - c) for hit clusters, 0 otherwise:
-    # the top K scores are the K lowest-index hit clusters of the row.
+    # padded slot layout, nearest cluster first.
     k = min(PAIRS_PER_PACKET_CAP, nc)
-    score = jnp.where(
-        pk_hit, jnp.int32(nc) - lax.broadcasted_iota(jnp.int32, pk_hit.shape, 1),
-        jnp.int32(0),
-    )
-    top, _ = lax.top_k(score, k)                        # (P, k) descending
-    valid = top > 0
-    cl = jnp.where(valid, jnp.int32(nc) - top, 0).reshape(-1)
+    top, top_cl = lax.top_k(pk_key, k)                  # (P, k) descending
+    valid = top >= 0
+    cl = jnp.where(valid, top_cl, 0).reshape(-1)
     pk = jnp.where(
         valid, lax.broadcasted_iota(jnp.int32, (n_pk, k), 0), -1
     ).reshape(-1)
-    n_pairs = jnp.sum(pk_hit, dtype=jnp.int32)
+    n_pairs = jnp.sum(jnp.minimum(pk_cnt, k), dtype=jnp.int32)
+    n_overflow = jnp.sum(pk_cnt > k, dtype=jnp.int32)
     cap = n_pk * k
     if cap % CHUNK:
         pad_p = -(-cap // CHUNK) * CHUNK - cap
+        cap += pad_p
         pk = jnp.concatenate([pk, jnp.full((pad_p,), -1, jnp.int32)])
         cl = jnp.concatenate([cl, jnp.zeros((pad_p,), jnp.int32)])
 
@@ -298,7 +317,7 @@ def _pipeline(cl_lo, cl_hi, tri_geom, org, dirn, t_max, *, interpret):
         ),
         interpret=interpret,
     )(pk, cl, *rays_g, tmax_g, tri_geom)
-    return _from_groups(t), _from_groups(slot), n_pairs
+    return _from_groups(t), _from_groups(slot), n_pairs, n_overflow
 
 
 def intersect_triangles_wavefront(pack, org, dirn, t_min, t_max,
@@ -307,7 +326,11 @@ def intersect_triangles_wavefront(pack, org, dirn, t_min, t_max,
     ops.pallas_bvh8.intersect_triangles_bvh8 (same contract: returns
     (t, slot) with t == t_max where nothing was hit; t_min is the static
     T_MIN).  Rays should be compaction-sorted for speed (not required
-    for correctness)."""
+    for correctness).  See the module docstring for the
+    PAIRS_PER_PACKET_CAP overflow caveat; set RRT_WF_CHECK=1 to emit a
+    runtime warning when any packet overflows the cap."""
+    import os
+
     n = org.shape[0]
     if pack.tri_geom.shape[0] == 0 or pack.wf_cl_lo.shape[0] == 0:
         return t_max, jnp.full((n,), -1, jnp.int32)
@@ -320,11 +343,16 @@ def intersect_triangles_wavefront(pack, org, dirn, t_min, t_max,
         dirn = jnp.concatenate([dirn, jnp.ones((padn, 3), org.dtype)], 0)
         t_max = jnp.concatenate([t_max, jnp.zeros((padn,), t_max.dtype)], 0)
 
-    t, slot, _ = _pipeline(
+    t, slot, _, n_overflow = _pipeline(
         pack.wf_cl_lo, pack.wf_cl_hi, pack.tri_geom,
         org.astype(jnp.float32), dirn.astype(jnp.float32),
         t_max.astype(jnp.float32), interpret=interpret,
     )
+    if os.environ.get("RRT_WF_CHECK"):
+        jax.debug.print(
+            "wavefront: {n} packet(s) overflowed PAIRS_PER_PACKET_CAP "
+            "(farthest clusters dropped)", n=n_overflow,
+        )
     t = t[:n]
     slot = slot[:n]
     miss = slot < 0

@@ -177,3 +177,43 @@ def test_wavefront_matches_jnp_traversal(soup):
     np.testing.assert_array_equal(hit_c, hit_rc)
     np.testing.assert_allclose(np.asarray(t_c)[hit_c],
                                np.asarray(t_rc)[hit_rc], rtol=2e-5, atol=1e-6)
+
+
+def test_wavefront_cap_overflow(soup, monkeypatch, request):
+    """PAIRS_PER_PACKET_CAP overflow: the pipeline keeps each packet's CAP
+    *nearest* clusters, reports the overflowing-packet count, and any hit
+    it does return is a true hit (never garbage).  Regression guard for the
+    r3 grid-truncation bug (uninitialized output when pairs < CHUNK)."""
+    from rust_raytracer_tpu.ops import pallas_wavefront as pwf
+
+    monkeypatch.setattr(pwf, "PAIRS_PER_PACKET_CAP", 2)
+    # the cap is baked in at trace time: drop cached traces now, and again
+    # on teardown so later tests never see the cap-2 trace
+    pwf._pipeline.clear_cache()
+    request.addfinalizer(pwf._pipeline.clear_cache)
+    n = 128 * pwf.R  # _pipeline is the unpadded entry: N must be a multiple
+    org, dirn = _rays(n, seed=7)
+    t_min = jnp.full((n,), 1e-3, jnp.float32)
+    t_max = jnp.full((n,), np.inf, jnp.float32)
+
+    t_ref, i_ref = isect.intersect_triangles(soup, org, dirn, t_min, t_max)
+    t_wf, i_wf, n_pairs, n_overflow = pwf._pipeline(
+        soup.wf_cl_lo, soup.wf_cl_hi, soup.tri_geom,
+        org, dirn, jnp.minimum(t_max, pwf.BIG), interpret=True,
+    )
+    t_wf, i_wf = np.asarray(t_wf)[:n], np.asarray(i_wf)[:n]
+    t_ref, i_ref = np.asarray(t_ref), np.asarray(i_ref)
+
+    assert int(n_overflow) > 0  # the soup has 6 clusters; cap 2 overflows
+    hit_wf = i_wf >= 0
+    hit_ref = np.isfinite(t_ref)
+    # no false hits: wavefront hits are a subset of the oracle's ...
+    assert not np.any(hit_wf & ~hit_ref)
+    # ... and never report a hit CLOSER than the true closest (dropping
+    # far clusters can only lose hits, not fabricate nearer ones)
+    both = hit_wf & hit_ref
+    assert both.sum() > 0
+    assert np.all(t_wf[both] >= t_ref[both] * (1 - 2e-5) - 1e-6)
+    # most rays' closest hit lives in one of the 2 nearest clusters
+    exact = np.isclose(t_wf[both], t_ref[both], rtol=2e-5, atol=1e-6)
+    assert exact.mean() > 0.5
