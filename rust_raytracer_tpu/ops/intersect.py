@@ -236,6 +236,39 @@ def triangle_hit(org, dirn, v0, e1, e2, hit_back, t_min, t_max):
     return jnp.where(ok, t, jnp.inf), u, v
 
 
+def call_detached(fn, *args):
+    """Run fn(*args) as a non-differentiable block: forward is unchanged;
+    under AD the outputs carry zero tangents and no cotangents reach the
+    inputs.
+
+    The Pallas traversal kernels (pallas_bvh8/pallas_intersect/
+    pallas_wavefront) are wrapped with this because their internal
+    run_scoped / while primitives have no JVP rule — jax.grad of the
+    differentiable integrator would otherwise die in pallas_call's jvp
+    rule even though the integrator immediately stop_gradients the hits
+    (render/integrator.py).  Semantically identical to that stop_gradient:
+    traversal DECISIONS (ids, raw t) are detached, and hit_attributes
+    recomputes geometry differentiably from the gathered primitives
+    (reference estimator: camera.rs:282-332)."""
+    import numpy as np
+
+    f = jax.custom_jvp(fn)
+
+    @f.defjvp
+    def _jvp(primals, tangents):
+        del tangents
+        out = fn(*primals)
+
+        def zero_tangent(o):
+            if jnp.issubdtype(o.dtype, jnp.floating):
+                return jnp.zeros_like(o)
+            return np.zeros(o.shape, dtype=jax.dtypes.float0)
+
+        return out, jax.tree_util.tree_map(zero_tangent, out)
+
+    return f(*args)
+
+
 def use_pallas(kernel: str = "auto") -> bool:
     """Resolve the triangle-traversal kernel choice.
 

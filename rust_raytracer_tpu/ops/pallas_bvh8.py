@@ -292,11 +292,13 @@ def intersect_triangles_bvh8(pack, org, dirn, t_min, t_max,
         dirn = jnp.concatenate([dirn, jnp.ones((pad, 3), org.dtype)], 0)
         t_max = jnp.concatenate([t_max, jnp.zeros((pad,), t_max.dtype)], 0)
 
-    t, idx = _traverse(
+    from .intersect import call_detached
+
+    t, idx = call_detached(
+        functools.partial(_traverse, interpret=interpret),
         pack.bvh8_aabb, pack.tri_geom,
         org.astype(jnp.float32), dirn.astype(jnp.float32),
         t_max.astype(jnp.float32),
-        interpret=interpret,
     )
     t = t[:n]
     idx = idx[:n]

@@ -248,11 +248,13 @@ def intersect_triangles_pallas(pack, org, dirn, t_min, t_max,
         dirn = jnp.concatenate([dirn, jnp.ones((pad, 3), org.dtype)], 0)
         t_max = jnp.concatenate([t_max, jnp.zeros((pad,), t_max.dtype)], 0)
 
-    t, idx = _traverse(
+    from .intersect import call_detached
+
+    t, idx = call_detached(
+        functools.partial(_traverse, n_nodes=n_nodes, interpret=interpret),
         pack.bvh_rows, pack.tri_geom,
         org.astype(jnp.float32), dirn.astype(jnp.float32),
         t_max.astype(jnp.float32),
-        n_nodes=n_nodes, interpret=interpret,
     )
     t = t[:n]
     idx = idx[:n]

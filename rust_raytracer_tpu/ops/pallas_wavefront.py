@@ -51,10 +51,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 R = 8            # rays per packet (sublanes of an MT tile)
 CLUSTER = 128    # triangles per cluster (lanes); == pallas_intersect.CLUSTER
-CHUNK = 8192     # pairs per grid step (SMEM block)
-BATCH = 32       # pairs per inner loop iteration
+PPG = 8          # packets per grid step
+GRP = 8          # slots per skip-branch group (valid slots are a prefix of
+                 # each packet's row, so one scalar branch skips 8 slots)
 BANKS = 8        # independent best accumulators: consecutive same-packet
-                 # pairs would otherwise serialize on the running-best
+                 # slots would otherwise serialize on the running-best
                  # min chain (measured 204 ns/pair -> latency-bound)
 PAIRS_PER_PACKET_CAP = 64  # static pair-list capacity per packet (mean ~36)
 
@@ -73,134 +74,109 @@ def _lane_extract(tile, c):
                    keepdims=True)
 
 
-def _mt_kernel(pk_ref, cl_ref, ox, oy, oz, dx, dy, dz, tmax_ref,
-               tri_ref, t_out, i_out, st, best_t, best_i, o_col, d_col):
-    """One grid step: CHUNK pairs from SMEM blocks against VMEM geometry.
+def _make_mt_kernel(k: int):
+    """Kernel factory: PPG packets per grid step, each with a fixed row of
+    k cluster slots sorted near-to-far (valid slots a prefix of the row).
 
-    st (SMEM): [0] = current packet id (-2: none yet).  Scratch (running
-    best, cached ray columns) persists across grid steps; pairs are
-    packet-major so each packet loads once and flushes once.
+    vs the r3 change-detection kernel: the packet->slot mapping is static
+    (slot j of row p belongs to packet p), so there is no per-pair packet
+    compare/flush chain; rays load once and flush once per packet, and a
+    single scalar branch per GRP slots skips the invalid tail.  Every
+    (g, column) of the output is written by exactly its own packet's
+    flush, so no initialization pass is needed.
     """
-    step = pl.program_id(0)
-    n_steps = pl.num_programs(0)
 
-    @pl.when(step == 0)
-    def _():
-        def init(g, _):
-            t_out[g] = tmax_ref[g]
-            i_out[g] = jnp.full((R, 128), -1, jnp.int32)
+    def kernel(cl_ref, cnt_ref, ox, oy, oz, dx, dy, dz, tmax_ref,
+               tri_ref, t_out, i_out, best_t, best_i):
+        i0 = pl.program_id(0) * PPG
+
+        def packet_body(j, _):
+            pk = i0 + j
+            g = lax.div(pk, 128)
+            c = lax.rem(pk, 128)
+            o_x = _lane_extract(ox[g], c)
+            o_y = _lane_extract(oy[g], c)
+            o_z = _lane_extract(oz[g], c)
+            d_x = _lane_extract(dx[g], c)
+            d_y = _lane_extract(dy[g], c)
+            d_z = _lane_extract(dz[g], c)
+            tm = _lane_extract(tmax_ref[g], c)
+            best_t[...] = jnp.broadcast_to(tm[None], (BANKS, R, 1))
+            best_i[...] = jnp.full((BANKS, R, 1), -1, jnp.int32)
+            n_j = cnt_ref[j, 0]
+
+            for grp in range(-(-k // GRP)):
+                @pl.when(grp * GRP < n_j)
+                def _(grp=grp):
+                    for s in range(min(GRP, k - grp * GRP)):
+                        slot = grp * GRP + s
+                        cl = cl_ref[j, slot]
+                        # the last non-empty group can straddle the valid
+                        # prefix: mask those lanes in vector code (cheaper
+                        # than a scalar branch per slot)
+                        live = slot < n_j
+                        blk = tri_ref[cl]  # (GEOM_ROWS, 128) dynamic load
+                        v0x = blk[0:1, :]
+                        v0y = blk[1:2, :]
+                        v0z = blk[2:3, :]
+                        e1x = blk[3:4, :]
+                        e1y = blk[4:5, :]
+                        e1z = blk[5:6, :]
+                        e2x = blk[6:7, :]
+                        e2y = blk[7:8, :]
+                        e2z = blk[8:9, :]
+                        back = blk[9:10, :]
+                        # Moller-Trumbore (reference: mesh.rs:61-101)
+                        px = d_y * e2z - d_z * e2y
+                        py = d_z * e2x - d_x * e2z
+                        pz = d_x * e2y - d_y * e2x
+                        det = e1x * px + e1y * py + e1z * pz
+                        dd = jnp.where(back > 0.5, jnp.abs(det), det)
+                        ok = (dd > 1e-12) & live
+                        inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
+                        bx = o_x - v0x
+                        by = o_y - v0y
+                        bz = o_z - v0z
+                        u = (bx * px + by * py + bz * pz) * inv_det
+                        qx = by * e1z - bz * e1y
+                        qy = bz * e1x - bx * e1z
+                        qz = bx * e1y - by * e1x
+                        w = (d_x * qx + d_y * qy + d_z * qz) * inv_det
+                        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                        ok &= (u >= 0.0) & (u <= 1.0) & (w >= 0.0)
+                        ok &= (u + w <= 1.0)
+                        bank = s % BANKS  # static: breaks the serial chain
+                        bt = best_t[bank]
+                        ok &= (t > T_MIN_STATIC) & (t < bt)
+                        tt = jnp.where(ok, t, BIG)
+                        new_t = jnp.min(tt, axis=1, keepdims=True)
+                        new_i = jnp.argmin(tt, axis=1).astype(
+                            jnp.int32)[:, None]
+                        better = new_t < bt
+                        best_i[bank] = jnp.where(
+                            better, cl * CLUSTER + new_i, best_i[bank]
+                        )
+                        best_t[bank] = jnp.where(better, new_t, bt)
+
+            # merge the banks (tree min with index tracking) and flush the
+            # packet's column of the output blocks
+            ts = [best_t[b] for b in range(BANKS)]
+            is_ = [best_i[b] for b in range(BANKS)]
+            while len(ts) > 1:
+                nt, ni = [], []
+                for m in range(0, len(ts), 2):
+                    take = ts[m + 1] < ts[m]
+                    nt.append(jnp.where(take, ts[m + 1], ts[m]))
+                    ni.append(jnp.where(take, is_[m + 1], is_[m]))
+                ts, is_ = nt, ni
+            onehot = _lane_iota() == c
+            t_out[g] = jnp.where(onehot, ts[0], t_out[g])
+            i_out[g] = jnp.where(onehot, is_[0], i_out[g])
             return 0
 
-        lax.fori_loop(0, ox.shape[0], init, 0)
-        st[0] = jnp.int32(-2)
+        lax.fori_loop(0, PPG, packet_body, 0)
 
-    def flush(prev_pk):
-        g = lax.div(prev_pk, 128)
-        c = lax.rem(prev_pk, 128)
-        # merge the banks (tree min with index tracking)
-        ts = [best_t[b] for b in range(BANKS)]
-        is_ = [best_i[b] for b in range(BANKS)]
-        while len(ts) > 1:
-            nt, ni = [], []
-            for k in range(0, len(ts), 2):
-                take = ts[k + 1] < ts[k]
-                nt.append(jnp.where(take, ts[k + 1], ts[k]))
-                ni.append(jnp.where(take, is_[k + 1], is_[k]))
-            ts, is_ = nt, ni
-        onehot = _lane_iota() == c
-        t_out[g] = jnp.where(onehot, ts[0], t_out[g])
-        i_out[g] = jnp.where(onehot, is_[0], i_out[g])
-
-    def load_packet(pk):
-        g = lax.div(pk, 128)
-        c = lax.rem(pk, 128)
-        o_col[0] = _lane_extract(ox[g], c)
-        o_col[1] = _lane_extract(oy[g], c)
-        o_col[2] = _lane_extract(oz[g], c)
-        d_col[0] = _lane_extract(dx[g], c)
-        d_col[1] = _lane_extract(dy[g], c)
-        d_col[2] = _lane_extract(dz[g], c)
-        tm = _lane_extract(tmax_ref[g], c)
-        best_t[...] = jnp.broadcast_to(tm[None], (BANKS, R, 1))
-        best_i[...] = jnp.full((BANKS, R, 1), -1, jnp.int32)
-
-    def body(it, _):
-        for b in range(BATCH):
-            j = it * BATCH + b
-            pk = pk_ref[j]
-            valid = pk >= 0
-            prev = st[0]
-            change = valid & (pk != prev)
-
-            @pl.when(change)
-            def _(pk=pk, prev=prev):
-                @pl.when(prev >= 0)
-                def _():
-                    flush(prev)
-
-                load_packet(pk)
-                st[0] = pk
-
-            @pl.when(valid)
-            def _(j=j):
-                cl = cl_ref[j]
-                o_x = o_col[0]
-                o_y = o_col[1]
-                o_z = o_col[2]
-                d_x = d_col[0]
-                d_y = d_col[1]
-                d_z = d_col[2]
-                blk = tri_ref[cl]  # one (GEOM_ROWS, 128) dynamic load
-                v0x = blk[0:1, :]
-                v0y = blk[1:2, :]
-                v0z = blk[2:3, :]
-                e1x = blk[3:4, :]
-                e1y = blk[4:5, :]
-                e1z = blk[5:6, :]
-                e2x = blk[6:7, :]
-                e2y = blk[7:8, :]
-                e2z = blk[8:9, :]
-                back = blk[9:10, :]
-                # Moller-Trumbore (reference: mesh.rs:61-101)
-                px = d_y * e2z - d_z * e2y
-                py = d_z * e2x - d_x * e2z
-                pz = d_x * e2y - d_y * e2x
-                det = e1x * px + e1y * py + e1z * pz
-                dd = jnp.where(back > 0.5, jnp.abs(det), det)
-                ok = dd > 1e-12
-                inv_det = 1.0 / jnp.where(det == 0.0, 1.0, det)
-                bx = o_x - v0x
-                by = o_y - v0y
-                bz = o_z - v0z
-                u = (bx * px + by * py + bz * pz) * inv_det
-                qx = by * e1z - bz * e1y
-                qy = bz * e1x - bx * e1z
-                qz = bx * e1y - by * e1x
-                w = (d_x * qx + d_y * qy + d_z * qz) * inv_det
-                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                ok &= (u >= 0.0) & (u <= 1.0) & (w >= 0.0) & (u + w <= 1.0)
-                bank = b % BANKS  # static: breaks the serial best chain
-                bt = best_t[bank]
-                ok &= (t > T_MIN_STATIC) & (t < bt)
-                tt = jnp.where(ok, t, BIG)
-                new_t = jnp.min(tt, axis=1, keepdims=True)
-                new_i = jnp.argmin(tt, axis=1).astype(jnp.int32)[:, None]
-                better = new_t < bt
-                best_i[bank] = jnp.where(better, cl * CLUSTER + new_i,
-                                         best_i[bank])
-                best_t[bank] = jnp.where(better, new_t, bt)
-
-        return 0
-
-    lax.fori_loop(0, CHUNK // BATCH, body, 0)
-
-    @pl.when(step == n_steps - 1)
-    def _():
-        prev = st[0]
-
-        @pl.when(prev >= 0)
-        def _():
-            flush(prev)
+    return kernel
 
 
 def _to_groups(a):
@@ -270,53 +246,45 @@ def _pipeline(cl_lo, cl_hi, tri_geom, org, dirn, t_max, *, interpret):
     # padded slot layout, nearest cluster first.
     k = min(PAIRS_PER_PACKET_CAP, nc)
     top, top_cl = lax.top_k(pk_key, k)                  # (P, k) descending
-    valid = top >= 0
-    cl = jnp.where(valid, top_cl, 0).reshape(-1)
-    pk = jnp.where(
-        valid, lax.broadcasted_iota(jnp.int32, (n_pk, k), 0), -1
-    ).reshape(-1)
-    n_pairs = jnp.sum(jnp.minimum(pk_cnt, k), dtype=jnp.int32)
+    cl = jnp.where(top >= 0, top_cl, 0)                 # (P, k)
+    cnt = jnp.minimum(pk_cnt, k)                        # (P,)
+    n_pairs = jnp.sum(cnt, dtype=jnp.int32)
     n_overflow = jnp.sum(pk_cnt > k, dtype=jnp.int32)
-    cap = n_pk * k
-    if cap % CHUNK:
-        pad_p = -(-cap // CHUNK) * CHUNK - cap
-        cap += pad_p
-        pk = jnp.concatenate([pk, jnp.full((pad_p,), -1, jnp.int32)])
-        cl = jnp.concatenate([cl, jnp.zeros((pad_p,), jnp.int32)])
 
-    # ---- 3. batched MT over pairs (Pallas) ----
+    # ---- 3. batched MT over the fixed (packet, slot) layout (Pallas) ----
     rays_g = [
         _to_groups(org[:, 0]), _to_groups(org[:, 1]), _to_groups(org[:, 2]),
         _to_groups(dirn[:, 0]), _to_groups(dirn[:, 1]), _to_groups(dirn[:, 2]),
     ]
     tmax_g = _to_groups(jnp.minimum(t_max, BIG))
     G = rays_g[0].shape[0]
-    blk = pl.BlockSpec((CHUNK,), lambda i: (i,), memory_space=pltpu.SMEM)
+    cl_spec = pl.BlockSpec((PPG, k), lambda i: (i, 0),
+                           memory_space=pltpu.SMEM)
+    # rank-1 SMEM blocks must be 128-multiples; a (PPG, 1) column is not
+    cnt_spec = pl.BlockSpec((PPG, 1), lambda i: (i, 0),
+                            memory_space=pltpu.SMEM)
     fullc = pl.BlockSpec((G, R, 128), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM)
     tri_spec = pl.BlockSpec(tri_geom.shape, lambda i: (0, 0, 0),
                             memory_space=pltpu.VMEM)
     t, slot = pl.pallas_call(
-        _mt_kernel,
-        grid=(cap // CHUNK,),
-        in_specs=[blk, blk] + [fullc] * 7 + [tri_spec],
+        _make_mt_kernel(k),
+        grid=(n_pk // PPG,),
+        in_specs=[cl_spec, cnt_spec] + [fullc] * 7 + [tri_spec],
         out_specs=[fullc, fullc],
         out_shape=[
             jax.ShapeDtypeStruct((G, R, 128), jnp.float32),
             jax.ShapeDtypeStruct((G, R, 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.SMEM((1,), jnp.int32),
             pltpu.VMEM((BANKS, R, 1), jnp.float32),
             pltpu.VMEM((BANKS, R, 1), jnp.int32),
-            pltpu.VMEM((3, R, 1), jnp.float32),
-            pltpu.VMEM((3, R, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(pk, cl, *rays_g, tmax_g, tri_geom)
+    )(cl, cnt[:, None], *rays_g, tmax_g, tri_geom)
     return _from_groups(t), _from_groups(slot), n_pairs, n_overflow
 
 
@@ -343,10 +311,13 @@ def intersect_triangles_wavefront(pack, org, dirn, t_min, t_max,
         dirn = jnp.concatenate([dirn, jnp.ones((padn, 3), org.dtype)], 0)
         t_max = jnp.concatenate([t_max, jnp.zeros((padn,), t_max.dtype)], 0)
 
-    t, slot, _, n_overflow = _pipeline(
+    from .intersect import call_detached
+
+    t, slot, _, n_overflow = call_detached(
+        functools.partial(_pipeline, interpret=interpret),
         pack.wf_cl_lo, pack.wf_cl_hi, pack.tri_geom,
         org.astype(jnp.float32), dirn.astype(jnp.float32),
-        t_max.astype(jnp.float32), interpret=interpret,
+        t_max.astype(jnp.float32),
     )
     if os.environ.get("RRT_WF_CHECK"):
         jax.debug.print(

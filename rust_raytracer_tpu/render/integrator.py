@@ -192,7 +192,13 @@ def trace(
     # depth-0 black cutoff (camera.rs:290-292) is implicit: the loop simply
     # stops contributing after max_depth scatters.
     if differentiable:
-        state = lax.fori_loop(0, max_depth, bounce_body, state, unroll=False)
+        # remat each bounce: reverse-mode through the bounded loop would
+        # otherwise store every bounce's intermediates (traversal tiles,
+        # texture fetches) — O(depth) HBM.  checkpoint recomputes the
+        # bounce forward during the backward sweep: O(1 bounce) memory for
+        # 2x bounce FLOPs, the standard TPU remat trade.
+        state = lax.fori_loop(0, max_depth, jax.checkpoint(bounce_body),
+                              state, unroll=False)
     else:
         def w_cond(c):
             depth, state = c

@@ -238,6 +238,16 @@ def render_pool(pack, static, camera, n_pixels: int, spp: int,
     if n_lanes % n_shards:
         raise ValueError(f"n_lanes {n_lanes} not divisible by {n_shards} devices")
     state = init_state(n_lanes, n_pixels, dtype, n_shards=n_shards)
+    if mesh is not None:
+        # place the initial state with the step's OUTPUT sharding (every
+        # leaf is leading-axis sharded over the lane mesh): buffer
+        # donation can only alias input->output when the shardings agree,
+        # and without this the donated state was unusable — every step
+        # paid a device copy of the whole lane state (MULTICHIP_r03 tail
+        # warning).
+        from jax.sharding import NamedSharding
+
+        state = jax.device_put(state, NamedSharding(mesh, P(axis)))
     step = make_step(pack, static, camera, total, spp, seed, kernel=kernel,
                      mesh=mesh, axis=axis)
 

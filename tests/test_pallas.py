@@ -179,6 +179,44 @@ def test_wavefront_matches_jnp_traversal(soup):
                                np.asarray(t_rc)[hit_rc], rtol=2e-5, atol=1e-6)
 
 
+def test_pallas_kernels_differentiable_boundary(soup):
+    """jax.grad through every Pallas traversal entry must not hit the
+    'no differentiation rule for run_scoped' wall (BENCH_r03 failure):
+    the kernels are wrapped as detached primitives (intersect.call_detached)
+    — forward result unchanged, zero cotangents to the inputs, downstream
+    differentiable use of t composes fine."""
+    import jax
+    import jax.numpy as jnp2
+    from rust_raytracer_tpu.ops import pallas_bvh8 as pb8
+    from rust_raytracer_tpu.ops import pallas_wavefront as pwf
+
+    n = 1024
+    org, dirn = _rays(n, seed=9)
+    t_min = jnp.full((n,), 1e-3, jnp.float32)
+    t_max = jnp.full((n,), 1e9, jnp.float32)
+
+    for fn in (
+        lambda o: pb8.intersect_triangles_bvh8(
+            soup, o, dirn, t_min, t_max, interpret=True)[0],
+        lambda o: ppi.intersect_triangles_pallas(
+            soup, o, dirn, t_min, t_max, interpret=True)[0],
+        lambda o: pwf.intersect_triangles_wavefront(
+            soup, o, dirn, t_min, t_max, interpret=True)[0],
+    ):
+        def loss(o, fn=fn):
+            t = fn(o)
+            # downstream differentiable use: depends on o both through the
+            # detached t and directly (like hit_attributes does)
+            return jnp2.sum(jnp2.where(jnp2.isfinite(t), t, 0.0) * o[:, 0])
+
+        val, g = jax.value_and_grad(loss)(org)
+        assert np.isfinite(float(val))
+        g = np.asarray(g)
+        assert np.all(np.isfinite(g))
+        # the direct dependency contributes; the detached t contributes 0
+        assert np.abs(g).max() > 0
+
+
 def test_wavefront_cap_overflow(soup, monkeypatch, request):
     """PAIRS_PER_PACKET_CAP overflow: the pipeline keeps each packet's CAP
     *nearest* clusters, reports the overflowing-packet count, and any hit
