@@ -110,21 +110,76 @@ def _load_gltf(path: str) -> g.SceneDef:
         if emissive:
             # invisible proxy sampling sphere (assimp.rs:123-129): center
             # at the accumulated node translation, radius = min vertex
-            # distance from the mesh-local origin
+            # distance from the mesh-local origin — scaled into world
+            # units by the node transform (uniform-equivalent factor), or
+            # a cm-unit FBX/scaled node shrinks the NEE cone ~100x
             r = float(np.min(np.linalg.norm(prim.positions, axis=-1)))
+            r *= float(np.cbrt(abs(np.linalg.det(world_m[:3, :3]))))
             lights.append(g.ProxySphereLight(center=tuple(tpos), radius=r))
 
-    config = {}
-    if gs.camera is not None:
-        cam = gs.camera
-        aspect = cam.aspect if cam.aspect else 1.5
-        # hfov from yfov + aspect; focal = 18/tan(hfov/2) (assimp.rs:49)
-        hfov = 2.0 * math.atan(math.tan(cam.yfov / 2.0) * aspect)
-        config["camera_pos"] = tuple(float(v) for v in cam.position)
-        config["camera_target"] = tuple(float(v) for v in cam.look_at)
-        config["aspect_ratio"] = float(aspect)
-        config["focal_length"] = 18.0 / math.tan(hfov / 2.0)
+    config = _camera_config(gs.camera) if gs.camera is not None else {}
+    return g.SceneDef(world=g.Group(objects), lights=lights, config=config)
 
+
+def _camera_config(cam) -> dict:
+    """GltfCamera -> scene config (hfov from yfov + aspect; focal =
+    18/tan(hfov/2), the 35mm-equivalent conversion of assimp.rs:49)."""
+    aspect = cam.aspect if cam.aspect else 1.5
+    hfov = 2.0 * math.atan(math.tan(cam.yfov / 2.0) * aspect)
+    return {
+        "camera_pos": tuple(float(v) for v in cam.position),
+        "camera_target": tuple(float(v) for v in cam.look_at),
+        "aspect_ratio": float(aspect),
+        "focal_length": 18.0 / math.tan(hfov / 2.0),
+    }
+
+
+def _load_fbx(path: str) -> g.SceneDef:
+    """FBX import through utils/fbx.py — same assembly rules as glTF
+    (matching assimp.rs:71-178): bake node transforms, map materials,
+    proxy light spheres for emissive meshes, first camera wins."""
+    from . import fbx
+
+    fs = fbx.load(path)
+    default_mat = g.Glossy(g.Constant((0.5, 0.5, 0.5)), g.Constant(0.0), 1.5)
+
+    objects = []
+    lights = []
+    mat_cache = {}
+    for m in fs.meshes:
+        prim = m.primitive
+        if prim.material >= 0:
+            mat, emissive = _gltf_material(fs.materials[prim.material],
+                                           mat_cache)
+        else:
+            mat, emissive = default_mat, False
+        world_m = m.world
+        verts = prim.positions.astype(np.float64) @ world_m[:3, :3].T
+        verts += world_m[:3, 3]
+        if prim.normals is not None and prim.normals.shape[0]:
+            nmat = np.linalg.inv(world_m[:3, :3]).T
+            normals = prim.normals.astype(np.float64) @ nmat.T
+            normals /= np.maximum(
+                np.linalg.norm(normals, axis=-1, keepdims=True), 1e-30
+            )
+        else:
+            normals = np.zeros((0, 3))
+        uvs = (
+            prim.uvs.astype(np.float64)
+            if prim.uvs is not None else np.zeros((0, 2))
+        )
+        objects.append(g.Mesh(
+            vertices=verts, normals=normals, uvs=uvs,
+            triangles=m.tris, material=mat,
+            flat_shading=normals.shape[0] == 0,
+        ))
+        if emissive:
+            r = float(np.min(np.linalg.norm(prim.positions, axis=-1)))
+            r *= float(np.cbrt(abs(np.linalg.det(world_m[:3, :3]))))
+            lights.append(g.ProxySphereLight(
+                center=tuple(m.translation), radius=r))
+
+    config = _camera_config(fs.camera) if fs.camera is not None else {}
     return g.SceneDef(world=g.Group(objects), lights=lights, config=config)
 
 
@@ -132,6 +187,8 @@ def load_model(path: str) -> g.SceneDef:
     ext = os.path.splitext(path)[1].lower()
     if ext in (".gltf", ".glb"):
         return _load_gltf(path)
+    if ext == ".fbx":
+        return _load_fbx(path)
     if ext == ".obj":
         mat = g.Glossy(
             g.Constant((0.8, 0.8, 0.8)), g.Constant(0.5), 1.5
@@ -142,5 +199,5 @@ def load_model(path: str) -> g.SceneDef:
         return g.SceneDef(world=world, lights=[sky], config={})
     raise NotImplementedError(
         f"model import for '{ext}' is unsupported; "
-        "supported: .gltf, .glb, .obj"
+        "supported: .gltf, .glb, .fbx, .obj"
     )

@@ -57,3 +57,77 @@ def test_light_test_matches_reference_render():
     assert np.percentile(d, 95) < 45.0, (
         f"p95 sRGB error {np.percentile(d, 95):.2f} exceeds budget"
     )
+
+
+SAMPLE0 = "/root/reference/samples/sample0.png"
+_HERE = os.path.dirname(__file__)
+
+
+@pytest.mark.skipif(not os.path.exists(SAMPLE0),
+                    reason="reference sample renders not mounted")
+def test_golden_monkey_matches_reference_render():
+    """sample0.png (golden_monkey 1200x800@4000spp, README.md:9-11) vs our
+    builtin at 72px.  The reference places its 21x21 sphere field with an
+    UNSEEDED thread_rng (golden_monkey.rs:83-118) while ours is seeded, so
+    individual spheres cannot match — the comparison is blurred and coarse,
+    locking the parts that are deterministic: Suzanne, floor checker, sky
+    gradient, sun glow, overall exposure through the ACES chain.
+
+    Calibrated error at 72px/25spp (2026-08, CPU jnp path): blurred mean
+    12.0, p95 47 of 255 — dominated by the sphere-field shuffle.
+    Thresholds carry ~50% margin."""
+    from PIL import Image
+
+    from rust_raytracer_tpu import models
+    from rust_raytracer_tpu.render.renderer import Renderer
+    from rust_raytracer_tpu.utils import config as cfg
+
+    scene = models.build("golden_monkey")
+    sc_cfg = cfg.merge_scene_config(scene.config, {"output_width": 72})
+    cam = cfg.make_camera(
+        sc_cfg, cfg.RenderConfig(samples_per_pixel=25, max_depth=20)
+    )
+    film = Renderer(scene, cam, batch_size=1 << 16, kernel="jnp").render(
+        mode="batch"
+    )
+    ours = film.to_image("aces").astype(np.float64)
+
+    ref = Image.open(SAMPLE0).convert("RGB")
+    ref = ref.resize((cam.image_width, cam.image_height), Image.BOX)
+    ref = np.asarray(ref, np.float64)
+
+    d = np.abs(_blur3(ours) - _blur3(ref))
+    assert d.mean() < 18.0, f"mean sRGB error {d.mean():.2f} exceeds budget"
+    assert np.percentile(d, 95) < 70.0, (
+        f"p95 sRGB error {np.percentile(d, 95):.2f} exceeds budget"
+    )
+
+
+def test_cornell_matches_stored_golden():
+    """Estimator lock: cornell at 64px/49spp vs a converged self-render
+    committed at tests/golden/cornell_64.npy (jnp kernel, seed 0).  The
+    counter-based RNG makes the render deterministic, so the tolerance is
+    tight — any change to NEE weights, material sampling, RNG streams or
+    tonemapping moves this image."""
+    from rust_raytracer_tpu import models
+    from rust_raytracer_tpu.render.renderer import Renderer
+    from rust_raytracer_tpu.utils import config as cfg
+
+    golden_path = os.path.join(_HERE, "golden", "cornell_64.npy")
+    scene = models.build("cornell")
+    sc_cfg = cfg.merge_scene_config(scene.config, {"output_width": 64})
+    cam = cfg.make_camera(
+        sc_cfg, cfg.RenderConfig(samples_per_pixel=49, max_depth=20)
+    )
+    film = Renderer(scene, cam, batch_size=1 << 16, kernel="jnp").render(
+        mode="batch"
+    )
+    ours = np.asarray(film.hdr(), np.float32)
+
+    if not os.path.exists(golden_path):  # regeneration path (documented)
+        os.makedirs(os.path.dirname(golden_path), exist_ok=True)
+        np.save(golden_path, ours)
+        pytest.skip("golden regenerated — rerun to compare")
+
+    ref = np.load(golden_path)
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
