@@ -1,6 +1,7 @@
 """Benchmark the wavefront cull->MT pipeline vs the (t_min-clamped) BVH8
 packet kernel on the real cornell_dragon steady-state wavefront."""
 import time
+import sys; sys.path.insert(0, "/root/repo")
 
 import numpy as np
 import jax, jax.numpy as jnp
@@ -59,8 +60,8 @@ match = float(jnp.mean((i2 == i1b) | ~alive))
 print(f"wavefront vs bvh8 id match: {match:.6f}", flush=True)
 
 # pair-count observability
-_, _, n_pairs = pwf._pipeline(
+_, _, n_pairs, n_ovf = pwf._pipeline(
     pack.wf_cl_lo, pack.wf_cl_hi, pack.tri_geom,
     org, dirn, tmax, interpret=False)
 print(f"pairs: {int(n_pairs)} ({int(n_pairs)/(N//8):.1f}/packet, "
-      f"cap {pwf.PAIRS_PER_PACKET_CAP})", flush=True)
+      f"cap {pwf.PAIRS_PER_PACKET_CAP}, overflow {int(n_ovf)})", flush=True)

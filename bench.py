@@ -72,6 +72,54 @@ def bench_backward(pack, static, camera, n_lanes=1 << 15, depth=20):
     return n_lanes / dt, n_lanes * depth / dt
 
 
+def kernel_parity_check(pack, camera, n_rays=1 << 14):
+    """Scene-scale traversal-kernel cross-check on the bench scene: trace
+    one batch of primary rays through every available triangle kernel and
+    compare hits.  Returns a dict of agreement fractions (t-agreement is
+    the correctness signal; id ties can legitimately break differently
+    when equal-t hits exist).  Never raises — the bench must survive."""
+    import jax
+    import jax.numpy as jnp
+
+    from rust_raytracer_tpu.core import rng as vrng
+    from rust_raytracer_tpu.ops import intersect as isect
+
+    out = {}
+    try:
+        w = np.uint32(camera.image_width)
+        px = jnp.asarray(np.arange(n_rays) * 7 % camera.image_width,
+                         jnp.uint32)
+        py = jnp.asarray((np.arange(n_rays) * 13 // camera.image_width)
+                         % camera.image_height, jnp.uint32)
+        smp = jnp.zeros((n_rays,), jnp.uint32)
+        ctx = vrng.Ctx(pixel=py * w + px, sample=smp, bounce=jnp.uint32(0),
+                       seed=jnp.uint32(0))
+        org, dirn = camera.generate_rays(px, py, smp, ctx, jnp.float32)
+        t_min = jnp.full((n_rays,), 1e-3, jnp.float32)
+        t_max = jnp.full((n_rays,), 3.4e38, jnp.float32)
+
+        results = {}
+        for kern in ("jnp", "pallas", "wavefront"):
+            t, i = jax.jit(
+                lambda o, d, k=kern: isect.intersect_triangles(
+                    pack, o, d, t_min, t_max, kernel=k)
+            )(org, dirn)
+            results[kern] = (np.asarray(t), np.asarray(i))
+        t0, i0 = results["jnp"]
+        tt0 = np.where(i0 >= 0, t0, 0.0)
+        for kern in ("pallas", "wavefront"):
+            t, i = results[kern]
+            tt = np.where(i >= 0, t, 0.0)
+            t_agree = float(
+                (np.abs(tt - tt0) <= 1e-4 + 1e-4 * np.abs(tt0)).mean()
+            )
+            out[f"{kern}_t_agree"] = round(t_agree, 5)
+            out[f"{kern}_id_agree"] = round(float((i == i0).mean()), 5)
+    except Exception as e:  # noqa: BLE001
+        out["error"] = f"{type(e).__name__}: {e}"[:200]
+    return out
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -143,6 +191,16 @@ def main():
         "vs_baseline": round(value / BASELINE_PIXEL_SAMPLES_PER_S, 3),
         "lane_bounces_per_s": round(metrics.summary()["rays_per_s"], 1),
     }
+
+    if not os.environ.get("RRT_BENCH_SKIP_PARITY"):
+        parity = kernel_parity_check(r.pack, camera)
+        result["kernel_parity"] = parity
+        bad = [k for k, v in parity.items()
+               if k.endswith("_t_agree") and v < 0.999]
+        if bad:
+            result["kernel_parity_warning"] = (
+                f"t-agreement below 99.9% for {bad}"
+            )
 
     # Insurance print: the forward number must never be lost to a failure
     # in the backward rider (BENCH_r03 lost the whole round to exactly

@@ -318,16 +318,21 @@ def intersect_triangles(pack: sp.ScenePack, org, dirn, t_min, t_max,
     if n_tris == 0 or n_nodes == 0:
         return t_max, jnp.full(org.shape[:-1], -1, jnp.int32)
 
-    if kernel == "wavefront":
-        # The cull->MT pipeline is a real Mosaic kernel with the whole
-        # tri_geom VMEM-resident: only valid on a TPU backend and for
-        # scenes that fit.  Otherwise fall through to the auto selection
-        # (BVH8 / streaming / jnp) rather than failing to compile.
-        if use_pallas("auto") and pack.tri_geom.size * 4 <= _BVH8_VMEM_BUDGET:
-            from . import pallas_wavefront as pwf
+    # The cull->MT wavefront pipeline is both the explicit "wavefront"
+    # choice and the TPU default ("auto"): measured 385 ms vs the BVH8
+    # packet walk's 481 ms on the cornell_dragon steady-state wavefront
+    # (2^18 lanes, r4).  It is a real Mosaic kernel with the whole
+    # tri_geom VMEM-resident, so it needs a TPU backend and a scene that
+    # fits; otherwise fall through to BVH8 / streaming / jnp.
+    if (kernel in ("wavefront", "auto")
+            and use_pallas("auto")
+            and pack.wf_cl_lo.shape[0] > 0
+            and pack.tri_geom.size * 4 <= _BVH8_VMEM_BUDGET):
+        from . import pallas_wavefront as pwf
 
-            return pwf.intersect_triangles_wavefront(pack, org, dirn, t_min,
-                                                     t_max)
+        return pwf.intersect_triangles_wavefront(pack, org, dirn, t_min,
+                                                 t_max)
+    if kernel == "wavefront":
         kernel = "auto"
     if use_pallas(kernel):
         if _fits_vmem(pack):
