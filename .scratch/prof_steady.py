@@ -1,4 +1,5 @@
 """Profile step components on a REAL steady-state pool wavefront."""
+import sys; sys.path.insert(0, "/root/repo")
 import time
 import numpy as np
 import jax, jax.numpy as jnp
@@ -75,3 +76,24 @@ np.savez("/root/repo/.scratch/steady_state.npz",
          alive=np.asarray(alive), bounce=bounce,
          pixel=np.asarray(state.pixel), sample=np.asarray(state.sample))
 print("saved steady_state.npz", flush=True)
+
+# full pool step + wavefront kernel + compaction-sort pieces (r4)
+bench(lambda: step(pack, state), "FULL pool step")
+from rust_raytracer_tpu.ops import pallas_wavefront as pwf
+kw = jax.jit(lambda o, d, tm: pwf.intersect_triangles_wavefront(pack, o, d, 1e-3, tm))
+bench(lambda: kw(org, dirn, tmax), "wavefront kernel (pool order)")
+key = jax.jit(lambda o, d, a: jnp.argsort(integ._compaction_key(o, d, a)))
+bench(lambda: key(org, dirn, alive), "compaction key+argsort")
+
+# permutation-apply cost (the 10-array gather by perm)
+perm = key(org, dirn, alive)
+ap = jax.jit(lambda p, *arrs: tuple(a[p] for a in arrs))
+bench(lambda: ap(perm, state.org, state.dirn, state.throughput,
+                 state.radiance, state.pixel, state.sample, state.bounce,
+                 state.active), "apply perm to 8 state arrays")
+
+# camera regen
+px = state.pixel % np.uint32(camera.image_width)
+py = state.pixel // np.uint32(camera.image_width)
+cg = jax.jit(lambda px, py, s: camera.generate_rays(px, py, s, ctx, jnp.float32))
+bench(lambda: cg(px, py, state.sample), "camera.generate_rays")

@@ -57,12 +57,12 @@ GRP = 8          # slots per skip-branch group (valid slots are a prefix of
 BANKS = 8        # independent best accumulators: consecutive same-packet
                  # slots would otherwise serialize on the running-best
                  # min chain (measured 204 ns/pair -> latency-bound)
-PAIRS_PER_PACKET_CAP = 128  # static slot capacity per packet.  Mean real
+PAIRS_PER_PACKET_CAP = 160  # static slot capacity per packet.  Mean real
                             # pair count is ~33 on the 870k-tri benchmark;
                             # the prefix-skip makes slack slots nearly free
-                            # (cap 64 -> 128 measured +1% step time) while
-                            # overflow drops fall 6450 -> 198 packets
-                            # (id agreement 0.9844 -> 0.9999 vs BVH8)
+                            # (cap 64 -> 128 measured +1% step time).
+                            # Sweep r4 (with K1=48/KC=32): id agreement
+                            # 0.99905 vs BVH8 at 170 ms vs 482 ms
 
 BIG = 3.4e38
 T_MIN_STATIC = 1e-3  # reference: camera.rs:294 interval lower bound
@@ -184,6 +184,157 @@ def _make_mt_kernel(k: int):
     return kernel
 
 
+SN = 128   # clusters per supernode block (lane width of the L2 cull tile)
+K1 = 48    # supernode slots per packet (L1 top_k width)
+KC = 32    # compacted cluster slots per (packet, supernode block)
+_ID_BITS = 14  # cluster id bits embedded in the candidate key (nc < 16384)
+
+
+def _lane_cumsum(m):
+    """Inclusive prefix sum along the 128-lane axis of an (8, 128) i32
+    tile, via 7 masked-roll stages (Mosaic has no native lane scan).
+    jnp.roll (not pltpu.roll) so the same code runs under interpret/CPU;
+    Mosaic lowers it to static lane slices + concat."""
+    lane = lax.broadcasted_iota(jnp.int32, m.shape, 1)
+    s = m
+    d = 1
+    while d < m.shape[1]:
+        rolled = jnp.roll(s, d, axis=1)
+        s = s + jnp.where(lane >= d, rolled, 0)
+        d *= 2
+    return s
+
+
+def _lane_compact(valid_i, vals):
+    """Stable lane compaction: route each valid lane's value to lane
+    rank(lane); lanes >= count end invalid.  valid_i is an i32 0/1 mask.
+    Returns (routed_valid_i, routed_vals, counts) with counts (rows, 1).
+
+    Method: LSB-to-MSB bit-fixing on the cube (butterfly) network —
+    stage b exchanges lanes l <-> l^b, each element crossing iff bit b of
+    (lane ^ destination) is set, destination = exclusive-prefix rank.
+    Monotone partial routes (compaction is one) are conflict-free on
+    this network (classic concentrator result; verified exhaustively in
+    .scratch — a valid element never gets displaced by an incoming one
+    unless it crosses itself).  All data movement is static jnp.roll
+    (Mosaic: lane slice + concat), selects are vector ops — no scalars.
+    """
+    n_lane = vals.shape[1]
+    lane = lax.broadcasted_iota(jnp.int32, vals.shape, 1)
+    incl = _lane_cumsum(valid_i)
+    cnt = incl[:, n_lane - 1:n_lane]
+    rank = incl - valid_i
+    dest = jnp.where(valid_i > 0, rank, lane)
+    b = 1
+
+    def partner_of(x, b):
+        # value at lane l^b: bit-b-set lanes read l-b, others read l+b
+        hi = (lane & b) != 0
+        return jnp.where(hi, jnp.roll(x, b, axis=1),
+                         jnp.roll(x, -b, axis=1))
+
+    while b < n_lane:
+        cross = ((valid_i > 0) & (((lane ^ dest) & b) != 0)).astype(
+            jnp.int32)
+        p_cross = partner_of(cross, b)
+        incoming = p_cross > 0
+        vals = jnp.where(incoming, partner_of(vals, b), vals)
+        dest = jnp.where(incoming, partner_of(dest, b), dest)
+        valid_i = jnp.where(
+            incoming, 1, jnp.where(cross > 0, 0, valid_i)
+        )
+        b *= 2
+    return valid_i, vals, cnt
+
+
+def _make_cull_kernel(k1: int, kc: int):
+    """Kernel A of the two-level pipeline: for each packet, slab-test its
+    K1 L1-selected supernode blocks (8 rays x 128 clusters per tile),
+    lane-compact the hit clusters of each block to KC slots, and emit
+    candidate keys with the global cluster id embedded in the low
+    _ID_BITS (so the later top_k needs no gather to recover ids).
+    """
+    assert k1 % 8 == 0
+
+    def kernel(sn_ref, n1_ref, ox, oy, oz, dx, dy, dz, tmax_ref,
+               bounds_ref, key_out, cnt_out, mrows, snrows):
+        i0 = pl.program_id(0) * PPG
+
+        def packet_body(j, _):
+            pk = i0 + j
+            g = lax.div(pk, 128)
+            c = lax.rem(pk, 128)
+            o_x = _lane_extract(ox[g], c)
+            o_y = _lane_extract(oy[g], c)
+            o_z = _lane_extract(oz[g], c)
+            inv_x = 1.0 / _lane_extract(dx[g], c)
+            inv_y = 1.0 / _lane_extract(dy[g], c)
+            inv_z = 1.0 / _lane_extract(dz[g], c)
+            tm = _lane_extract(tmax_ref[g], c)
+            n1 = n1_ref[j, 0]
+
+            for batch in range(k1 // 8):
+                @pl.when(batch * 8 >= n1)
+                def _(batch=batch):
+                    key_out[j, batch * 8:batch * 8 + 8, :] = jnp.full(
+                        (8, kc), -1, jnp.int32)
+                    cnt_out[j, batch * 8:batch * 8 + 8, :] = jnp.zeros(
+                        (8, 1), jnp.int32)
+
+                @pl.when(batch * 8 < n1)
+                def _(batch=batch):
+                    # 8 supernode slots -> one (8, 128) any-hit tile
+                    for s8 in range(8):
+                        slot = batch * 8 + s8
+                        sn = sn_ref[j, slot]
+                        live = slot < n1
+                        blk = bounds_ref[sn]      # (6, SN) dynamic load
+                        tx0 = (blk[0:1, :] - o_x) * inv_x   # (R, SN)
+                        tx1 = (blk[3:4, :] - o_x) * inv_x
+                        ty0 = (blk[1:2, :] - o_y) * inv_y
+                        ty1 = (blk[4:5, :] - o_y) * inv_y
+                        tz0 = (blk[2:3, :] - o_z) * inv_z
+                        tz1 = (blk[5:6, :] - o_z) * inv_z
+                        near = jnp.maximum(
+                            jnp.maximum(jnp.minimum(tx0, tx1),
+                                        jnp.minimum(ty0, ty1)),
+                            jnp.maximum(jnp.minimum(tz0, tz1),
+                                        T_MIN_STATIC),
+                        )
+                        far = jnp.minimum(
+                            jnp.minimum(jnp.maximum(tx0, tx1),
+                                        jnp.maximum(ty0, ty1)),
+                            jnp.minimum(jnp.maximum(tz0, tz1), tm),
+                        )
+                        anyhit = jnp.any(near <= far, axis=0,
+                                         keepdims=True) & live
+                        mrows[s8:s8 + 1, :] = anyhit.astype(jnp.int32)
+                        snrows[s8:s8 + 1, :] = jnp.full(
+                            (1, SN), sn, jnp.int32)
+
+                    valid, local, cnt8 = _lane_compact(
+                        mrows[...],
+                        lax.broadcasted_iota(jnp.int32, (8, SN), 1),
+                    )
+                    lane = lax.broadcasted_iota(jnp.int32, (8, SN), 1)
+                    sub = lax.broadcasted_iota(jnp.int32, (8, SN), 0)
+                    flat = (batch * 8 + sub) * kc + lane
+                    gid = snrows[...] * SN + local
+                    key = jnp.where(
+                        (valid > 0) & (lane < kc),
+                        ((k1 * kc - flat) << _ID_BITS) | gid,
+                        -1,
+                    )
+                    key_out[j, batch * 8:batch * 8 + 8, :] = key[:, :kc]
+                    cnt_out[j, batch * 8:batch * 8 + 8, :] = cnt8
+
+            return 0
+
+        lax.fori_loop(0, PPG, packet_body, 0)
+
+    return kernel
+
+
 def _to_groups(a):
     """(N,) -> (G, R, 128): [g, r, c] = a[(g*128 + c)*R + r]."""
     return jnp.transpose(a.reshape(-1, 128, R), (0, 2, 1))
@@ -257,12 +408,20 @@ def _pipeline(cl_lo, cl_hi, tri_geom, org, dirn, t_max, *, interpret):
     n_overflow = jnp.sum(pk_cnt > k, dtype=jnp.int32)
 
     # ---- 3. batched MT over the fixed (packet, slot) layout (Pallas) ----
+    t, slot = _mt_call(cl, cnt, tri_geom, org, dirn, t_max, k, interpret)
+    return t, slot, n_pairs, n_overflow
+
+
+def _mt_call(cl, cnt, tri_geom, org, dirn, t_max, k, interpret):
+    """Shared MT-kernel invocation: (cl, cnt) fixed slot layout -> (t, slot)
+    in group layout, returned flattened to caller lane order."""
     rays_g = [
         _to_groups(org[:, 0]), _to_groups(org[:, 1]), _to_groups(org[:, 2]),
         _to_groups(dirn[:, 0]), _to_groups(dirn[:, 1]), _to_groups(dirn[:, 2]),
     ]
     tmax_g = _to_groups(jnp.minimum(t_max, BIG))
     G = rays_g[0].shape[0]
+    n_pk = org.shape[0] // R
     cl_spec = pl.BlockSpec((PPG, k), lambda i: (i, 0),
                            memory_space=pltpu.SMEM)
     # rank-1 SMEM blocks must be 128-multiples; a (PPG, 1) column is not
@@ -290,7 +449,149 @@ def _pipeline(cl_lo, cl_hi, tri_geom, org, dirn, t_max, *, interpret):
         ),
         interpret=interpret,
     )(cl, cnt[:, None], *rays_g, tmax_g, tri_geom)
-    return _from_groups(t), _from_groups(slot), n_pairs, n_overflow
+    return _from_groups(t), _from_groups(slot)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pipeline2(cl_lo, cl_hi, tri_geom, org, dirn, t_max, *, interpret):
+    """Two-level cull -> compact -> MT pipeline (v3).
+
+    The dense _pipeline pays ~0.78 ns per (packet, cluster) in lax.top_k
+    alone — 252 ms on the 870k-tri bench.  Here the per-cluster work only
+    happens for the ~K1 supernode blocks each packet actually overlaps:
+
+      L1 (XLA):      slab keys vs S = nc/128 supernode boxes, top_k K1
+                     -> per-packet near-ordered supernode slots (cheap:
+                     the matrix is 78 wide, not 9918).
+      A  (Pallas):   per (packet, supernode slot): one (8 x 128) slab
+                     tile, then an in-register lane compaction (static
+                     masked rolls) emits <= KC candidate keys with the
+                     global cluster id embedded in the low bits.
+      L2 (XLA):      top_k over the (n_pk, K1*KC) candidates (13x
+                     narrower than nc) -> the MT kernel's fixed slot
+                     rows; ids decode from the keys, no gathers.
+      MT (Pallas):   unchanged.
+
+    Requires nc < 2**_ID_BITS (the id embedding); the dispatch falls back
+    to the dense pipeline above that.
+    """
+    n = org.shape[0]
+    n_pk = n // R
+    nc = cl_lo.shape[0]
+    S = -(-nc // SN)
+    k1 = min(K1, -(-S // 8) * 8)
+
+    # supernode boxes + per-supernode cluster-bound blocks (S, 6, SN).
+    # Padding clusters are POINT boxes at +BIG: the min/max slab test is
+    # orientation-agnostic, so an inverted (lo > hi) "empty" box would
+    # hit EVERYTHING; a point at +BIG gives near ~ +3.4e38 > far <= t_max
+    # = a guaranteed miss.
+    pad = S * SN - nc
+    lo_p = jnp.concatenate(
+        [cl_lo, jnp.full((pad, 3), BIG, cl_lo.dtype)]).reshape(S, SN, 3)
+    hi_p = jnp.concatenate(
+        [cl_hi, jnp.full((pad, 3), BIG, cl_hi.dtype)]).reshape(S, SN, 3)
+    sn_lo = jnp.min(lo_p, axis=1)                       # (S, 3)
+    sn_hi = jnp.where(
+        jnp.max(hi_p, axis=1) >= BIG, jnp.max(cl_hi, axis=0)[None, :],
+        jnp.max(hi_p, axis=1),
+    )
+    bounds = jnp.concatenate(
+        [jnp.transpose(lo_p, (0, 2, 1)), jnp.transpose(hi_p, (0, 2, 1))],
+        axis=1,
+    )                                                   # (S, 6, SN)
+
+    # ---- L1: per-packet supernode keys (XLA; tiny matrix) ----
+    cull_block = 8192 if n % 8192 == 0 else 128 * R
+    nb = n // cull_block
+
+    def _cull1(args):
+        o_b, d_b, tm_b = args
+        inv = 1.0 / d_b
+        near = jnp.full((o_b.shape[0], S), T_MIN_STATIC, jnp.float32)
+        far = jnp.broadcast_to(tm_b[:, None], (o_b.shape[0], S))
+        for ax in range(3):
+            t0 = (sn_lo[None, :, ax] - o_b[:, ax, None]) * inv[:, ax, None]
+            t1 = (sn_hi[None, :, ax] - o_b[:, ax, None]) * inv[:, ax, None]
+            near = jnp.maximum(near, jnp.minimum(t0, t1))
+            far = jnp.minimum(far, jnp.maximum(t0, t1))
+        hit = near <= far
+        tent = jnp.min(
+            jnp.where(hit, near, jnp.inf).reshape(-1, R, S), axis=1
+        )
+        return jnp.where(
+            jnp.isfinite(tent),
+            jnp.int32(0x7FFFFFFF) - lax.bitcast_convert_type(tent, jnp.int32),
+            jnp.int32(-1),
+        )
+
+    key1 = lax.map(
+        _cull1,
+        (org.reshape(nb, cull_block, 3), dirn.reshape(nb, cull_block, 3),
+         t_max.reshape(nb, cull_block)),
+    ).reshape(n_pk, S)
+    if S < k1:
+        key1 = jnp.pad(key1, ((0, 0), (0, k1 - S)), constant_values=-1)
+    top1, sn_slot = lax.top_k(key1, k1)                 # (n_pk, k1)
+    l1_cnt = jnp.sum(key1 >= 0, axis=1, dtype=jnp.int32)
+    n1 = jnp.minimum(l1_cnt, k1)
+    sn_slot = jnp.where(top1 >= 0, sn_slot, 0)
+
+    # ---- kernel A: block cull + lane compaction ----
+    rays_g = [
+        _to_groups(org[:, 0]), _to_groups(org[:, 1]), _to_groups(org[:, 2]),
+        _to_groups(dirn[:, 0]), _to_groups(dirn[:, 1]), _to_groups(dirn[:, 2]),
+    ]
+    tmax_g = _to_groups(jnp.minimum(t_max, BIG))
+    G = rays_g[0].shape[0]
+    sn_spec = pl.BlockSpec((PPG, k1), lambda i: (i, 0),
+                           memory_space=pltpu.SMEM)
+    n1_spec = pl.BlockSpec((PPG, 1), lambda i: (i, 0),
+                           memory_space=pltpu.SMEM)
+    fullc = pl.BlockSpec((G, R, 128), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    bounds_spec = pl.BlockSpec(bounds.shape, lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    keys, blk_cnt = pl.pallas_call(
+        _make_cull_kernel(k1, KC),
+        grid=(n_pk // PPG,),
+        in_specs=[sn_spec, n1_spec] + [fullc] * 7 + [bounds_spec],
+        out_specs=[
+            pl.BlockSpec((PPG, k1, KC), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((PPG, k1, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pk, k1, KC), jnp.int32),
+            jax.ShapeDtypeStruct((n_pk, k1, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, SN), jnp.int32),
+            pltpu.VMEM((8, SN), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(sn_slot, n1[:, None], *rays_g, tmax_g, bounds)
+
+    # ---- L2: extraction over the narrow candidate matrix ----
+    k = min(PAIRS_PER_PACKET_CAP, k1 * KC)
+    flat = keys.reshape(n_pk, k1 * KC)
+    top, _ = lax.top_k(flat, k)
+    cl = jnp.where(top >= 0, top & ((1 << _ID_BITS) - 1), 0)
+    real = jnp.sum(flat >= 0, axis=1, dtype=jnp.int32)
+    cnt = jnp.minimum(real, k)
+    n_pairs = jnp.sum(cnt, dtype=jnp.int32)
+    dropped = (
+        (l1_cnt > k1) | (real > k)
+        | jnp.any(blk_cnt[:, :, 0] > KC, axis=1)
+    )
+    n_overflow = jnp.sum(dropped, dtype=jnp.int32)
+
+    t, slot = _mt_call(cl, cnt, tri_geom, org, dirn, t_max, k, interpret)
+    return t, slot, n_pairs, n_overflow
 
 
 def intersect_triangles_wavefront(pack, org, dirn, t_min, t_max,
@@ -318,8 +619,12 @@ def intersect_triangles_wavefront(pack, org, dirn, t_min, t_max,
 
     from .intersect import call_detached
 
+    # two-level pipeline when the cluster ids fit the key embedding;
+    # dense pipeline otherwise (huge scenes)
+    pipe = _pipeline2 if pack.wf_cl_lo.shape[0] < (1 << _ID_BITS) \
+        else _pipeline
     t, slot, _, n_overflow = call_detached(
-        functools.partial(_pipeline, interpret=interpret),
+        functools.partial(pipe, interpret=interpret),
         pack.wf_cl_lo, pack.wf_cl_hi, pack.tri_geom,
         org.astype(jnp.float32), dirn.astype(jnp.float32),
         t_max.astype(jnp.float32),
