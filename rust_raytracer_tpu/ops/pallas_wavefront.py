@@ -52,8 +52,10 @@ from jax.experimental.pallas import tpu as pltpu
 R = 8            # rays per packet (sublanes of an MT tile)
 CLUSTER = 128    # triangles per cluster (lanes); == pallas_intersect.CLUSTER
 PPG = 8          # packets per grid step
-GRP = 8          # slots per skip-branch group (valid slots are a prefix of
-                 # each packet's row, so one scalar branch skips 8 slots)
+GRP = 16         # slots per skip-branch group (valid slots are a prefix of
+                 # each packet's row, so one scalar branch skips GRP slots;
+                 # scalar branches cost ~19 ns — fewer, coarser groups win
+                 # for the ~33-valid-of-160 slot rows)
 BANKS = 8        # independent best accumulators: consecutive same-packet
                  # slots would otherwise serialize on the running-best
                  # min chain (measured 204 ns/pair -> latency-bound)
@@ -257,7 +259,7 @@ def _make_cull_kernel(k1: int, kc: int):
     assert k1 % 8 == 0
 
     def kernel(sn_ref, n1_ref, ox, oy, oz, dx, dy, dz, tmax_ref,
-               bounds_ref, key_out, cnt_out, mrows, snrows):
+               bounds_ref, key_out, cnt_out, mrows, snrows, qrows):
         i0 = pl.program_id(0) * PPG
 
         def packet_body(j, _):
@@ -306,23 +308,38 @@ def _make_cull_kernel(k1: int, kc: int):
                                         jnp.maximum(ty0, ty1)),
                             jnp.minimum(jnp.maximum(tz0, tz1), tm),
                         )
-                        anyhit = jnp.any(near <= far, axis=0,
-                                         keepdims=True) & live
+                        hit = near <= far
+                        anyhit = jnp.any(hit, axis=0, keepdims=True) & live
+                        # cluster entry t (min over rays), quantized to
+                        # its top 10 monotone float bits: rides through
+                        # the compaction packed above the local lane id,
+                        # so the final top_k orders candidates
+                        # near-to-far GLOBALLY (not just block-major)
+                        t_ent = jnp.min(
+                            jnp.where(hit, near, BIG), axis=0, keepdims=True
+                        )
+                        qt = jnp.clip(
+                            lax.bitcast_convert_type(t_ent, jnp.int32) >> 21,
+                            0, 1023,
+                        )
                         mrows[s8:s8 + 1, :] = anyhit.astype(jnp.int32)
+                        qrows[s8:s8 + 1, :] = (
+                            (qt << 7)
+                            | lax.broadcasted_iota(jnp.int32, (1, SN), 1)
+                        )
                         snrows[s8:s8 + 1, :] = jnp.full(
                             (1, SN), sn, jnp.int32)
 
-                    valid, local, cnt8 = _lane_compact(
-                        mrows[...],
-                        lax.broadcasted_iota(jnp.int32, (8, SN), 1),
+                    valid, packed, cnt8 = _lane_compact(
+                        mrows[...], qrows[...],
                     )
                     lane = lax.broadcasted_iota(jnp.int32, (8, SN), 1)
-                    sub = lax.broadcasted_iota(jnp.int32, (8, SN), 0)
-                    flat = (batch * 8 + sub) * kc + lane
+                    local = packed & 127
+                    qt = lax.shift_right_logical(packed, 7) & 1023
                     gid = snrows[...] * SN + local
                     key = jnp.where(
                         (valid > 0) & (lane < kc),
-                        ((k1 * kc - flat) << _ID_BITS) | gid,
+                        ((1023 - qt) << _ID_BITS) | gid,
                         -1,
                     )
                     key_out[j, batch * 8:batch * 8 + 8, :] = key[:, :kc]
@@ -502,7 +519,10 @@ def _pipeline2(cl_lo, cl_hi, tri_geom, org, dirn, t_max, *, interpret):
     )                                                   # (S, 6, SN)
 
     # ---- L1: per-packet supernode keys (XLA; tiny matrix) ----
-    cull_block = 8192 if n % 8192 == 0 else 128 * R
+    # wide chunks: the per-chunk (block, S) intermediates are small at
+    # supernode granularity, and fewer lax.map steps cost less wall time
+    cull_block = 65536 if n % 65536 == 0 else (
+        8192 if n % 8192 == 0 else 128 * R)
     nb = n // cull_block
 
     def _cull1(args):
@@ -567,6 +587,7 @@ def _pipeline2(cl_lo, cl_hi, tri_geom, org, dirn, t_max, *, interpret):
             jax.ShapeDtypeStruct((n_pk, k1, 1), jnp.int32),
         ],
         scratch_shapes=[
+            pltpu.VMEM((8, SN), jnp.int32),
             pltpu.VMEM((8, SN), jnp.int32),
             pltpu.VMEM((8, SN), jnp.int32),
         ],

@@ -52,9 +52,25 @@ class Film:
         return path
 
     def save_ppm(self, path: str, tonemap: str = "aces"):
-        """Binary P6 PPM (reference: src/ppm.rs — legacy output path)."""
+        """Binary P6 PPM through the standard tonemap chain (fast bulk
+        output; companion to `save_ppm_p3`)."""
         img = self.to_image(tonemap)
         with open(path, "wb") as f:
             f.write(b"P6\n%d %d\n255\n" % (self.width, self.height))
             f.write(img.tobytes())
+        return path
+
+    def save_ppm_p3(self, path: str):
+        """ASCII P3 PPM with gamma 1/2.2, exact parity with the
+        reference's legacy writer (ppm.rs:9-38): per channel
+        (clamp(x^(1/2.2), 0, 1) * 255.999) as u8, row-major, one 'r g b'
+        line per pixel.  Bypasses the ACES/sRGB chain like ppm.rs does
+        (it maps raw buffer values)."""
+        hdr = self.hdr()
+        mapped = np.clip(np.power(np.maximum(hdr, 0.0), 1.0 / 2.2), 0.0, 1.0)
+        q = (mapped * 255.999).astype(np.uint8)
+        with open(path, "w") as f:
+            f.write(f"P3\n{self.width} {self.height}\n255\n")
+            flat = q.reshape(-1, 3)
+            f.write("".join(f"{r} {g} {b}\n" for r, g, b in flat))
         return path

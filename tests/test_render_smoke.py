@@ -45,3 +45,25 @@ def test_tonemapped_output_valid(test_film):
     assert out.dtype == np.uint8
     out2 = test_film.to_image("clamp")
     assert out2.shape == out.shape
+
+
+def test_ppm_p3_writer(test_film, tmp_path):
+    """ASCII P3 parity with the reference's legacy writer (ppm.rs:9-38):
+    header, row-major 'r g b' lines, gamma 1/2.2 mapping of the RAW
+    buffer (not the ACES/sRGB chain)."""
+    import os
+
+    path = os.path.join(tmp_path, "out.ppm")
+    test_film.save_ppm_p3(path)
+    lines = open(path).read().splitlines()
+    assert lines[0] == "P3"
+    w, h = map(int, lines[1].split())
+    assert (w, h) == (test_film.width, test_film.height)
+    assert lines[2] == "255"
+    body = lines[3:]
+    assert len(body) == w * h
+    # spot-check the first pixel against the reference formula
+    hdr = test_film.hdr()
+    r, g, b = (min(max(float(x), 0.0) ** (1 / 2.2), 1.0) * 255.999
+               for x in hdr[0, 0])
+    assert body[0] == f"{int(r)} {int(g)} {int(b)}"
