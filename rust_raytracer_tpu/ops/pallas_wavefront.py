@@ -187,7 +187,9 @@ def _make_mt_kernel(k: int):
 
 
 SN = 128   # clusters per supernode block (lane width of the L2 cull tile)
-K1 = 48    # supernode slots per packet (L1 top_k width)
+K1 = 40    # supernode slots per packet (L1 top_k width).  Sweep with
+           # subtree supernodes (r4): K1=32 -> 128 ms at id 0.99899,
+           # K1=40 -> 139 ms at 0.99920, K1=48 -> 140 ms at 0.99921
 KC = 32    # compacted cluster slots per (packet, supernode block)
 _ID_BITS = 14  # cluster id bits embedded in the candidate key (nc < 16384)
 
@@ -258,7 +260,7 @@ def _make_cull_kernel(k1: int, kc: int):
     """
     assert k1 % 8 == 0
 
-    def kernel(sn_ref, n1_ref, ox, oy, oz, dx, dy, dz, tmax_ref,
+    def kernel(sn_ref, n1_ref, snst_ref, ox, oy, oz, dx, dy, dz, tmax_ref,
                bounds_ref, key_out, cnt_out, mrows, snrows, qrows):
         i0 = pl.program_id(0) * PPG
 
@@ -291,6 +293,7 @@ def _make_cull_kernel(k1: int, kc: int):
                         sn = sn_ref[j, slot]
                         live = slot < n1
                         blk = bounds_ref[sn]      # (6, SN) dynamic load
+                        sn_base = snst_ref[sn, 0]  # first cluster id
                         tx0 = (blk[0:1, :] - o_x) * inv_x   # (R, SN)
                         tx1 = (blk[3:4, :] - o_x) * inv_x
                         ty0 = (blk[1:2, :] - o_y) * inv_y
@@ -328,7 +331,7 @@ def _make_cull_kernel(k1: int, kc: int):
                             | lax.broadcasted_iota(jnp.int32, (1, SN), 1)
                         )
                         snrows[s8:s8 + 1, :] = jnp.full(
-                            (1, SN), sn, jnp.int32)
+                            (1, SN), sn_base, jnp.int32)
 
                     valid, packed, cnt8 = _lane_compact(
                         mrows[...], qrows[...],
@@ -336,7 +339,7 @@ def _make_cull_kernel(k1: int, kc: int):
                     lane = lax.broadcasted_iota(jnp.int32, (8, SN), 1)
                     local = packed & 127
                     qt = lax.shift_right_logical(packed, 7) & 1023
-                    gid = snrows[...] * SN + local
+                    gid = snrows[...] + local
                     key = jnp.where(
                         (valid > 0) & (lane < kc),
                         ((1023 - qt) << _ID_BITS) | gid,
@@ -470,7 +473,8 @@ def _mt_call(cl, cnt, tri_geom, org, dirn, t_max, k, interpret):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _pipeline2(cl_lo, cl_hi, tri_geom, org, dirn, t_max, *, interpret):
+def _pipeline2(sn_lo, sn_hi, sn_start, sn_bounds, tri_geom, org, dirn,
+               t_max, *, interpret):
     """Two-level cull -> compact -> MT pipeline (v3).
 
     The dense _pipeline pays ~0.78 ns per (packet, cluster) in lax.top_k
@@ -490,33 +494,18 @@ def _pipeline2(cl_lo, cl_hi, tri_geom, org, dirn, t_max, *, interpret):
       MT (Pallas):   unchanged.
 
     Requires nc < 2**_ID_BITS (the id embedding); the dispatch falls back
-    to the dense pipeline above that.
+    to the dense pipeline above that.  The supernode tables come from the
+    scene compiler (scene/compiler.py _supernodes): maximal preorder BVH
+    subtrees of <= 128 leaf clusters — TIGHT boxes with contiguous
+    cluster ranges; sn_bounds pads unused lanes with +BIG point boxes
+    (an inverted lo > hi "empty" box would pass the orientation-agnostic
+    slab test for every ray).
     """
     n = org.shape[0]
     n_pk = n // R
-    nc = cl_lo.shape[0]
-    S = -(-nc // SN)
+    S = sn_lo.shape[0]
     k1 = min(K1, -(-S // 8) * 8)
-
-    # supernode boxes + per-supernode cluster-bound blocks (S, 6, SN).
-    # Padding clusters are POINT boxes at +BIG: the min/max slab test is
-    # orientation-agnostic, so an inverted (lo > hi) "empty" box would
-    # hit EVERYTHING; a point at +BIG gives near ~ +3.4e38 > far <= t_max
-    # = a guaranteed miss.
-    pad = S * SN - nc
-    lo_p = jnp.concatenate(
-        [cl_lo, jnp.full((pad, 3), BIG, cl_lo.dtype)]).reshape(S, SN, 3)
-    hi_p = jnp.concatenate(
-        [cl_hi, jnp.full((pad, 3), BIG, cl_hi.dtype)]).reshape(S, SN, 3)
-    sn_lo = jnp.min(lo_p, axis=1)                       # (S, 3)
-    sn_hi = jnp.where(
-        jnp.max(hi_p, axis=1) >= BIG, jnp.max(cl_hi, axis=0)[None, :],
-        jnp.max(hi_p, axis=1),
-    )
-    bounds = jnp.concatenate(
-        [jnp.transpose(lo_p, (0, 2, 1)), jnp.transpose(hi_p, (0, 2, 1))],
-        axis=1,
-    )                                                   # (S, 6, SN)
+    bounds = sn_bounds                                  # (S, 6, SN)
 
     # ---- L1: per-packet supernode keys (XLA; tiny matrix) ----
     # wide chunks: the per-chunk (block, S) intermediates are small at
@@ -568,6 +557,8 @@ def _pipeline2(cl_lo, cl_hi, tri_geom, org, dirn, t_max, *, interpret):
                            memory_space=pltpu.SMEM)
     n1_spec = pl.BlockSpec((PPG, 1), lambda i: (i, 0),
                            memory_space=pltpu.SMEM)
+    snst_spec = pl.BlockSpec((S, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
     fullc = pl.BlockSpec((G, R, 128), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM)
     bounds_spec = pl.BlockSpec(bounds.shape, lambda i: (0, 0, 0),
@@ -575,7 +566,7 @@ def _pipeline2(cl_lo, cl_hi, tri_geom, org, dirn, t_max, *, interpret):
     keys, blk_cnt = pl.pallas_call(
         _make_cull_kernel(k1, KC),
         grid=(n_pk // PPG,),
-        in_specs=[sn_spec, n1_spec] + [fullc] * 7 + [bounds_spec],
+        in_specs=[sn_spec, n1_spec, snst_spec] + [fullc] * 7 + [bounds_spec],
         out_specs=[
             pl.BlockSpec((PPG, k1, KC), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -595,7 +586,7 @@ def _pipeline2(cl_lo, cl_hi, tri_geom, org, dirn, t_max, *, interpret):
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(sn_slot, n1[:, None], *rays_g, tmax_g, bounds)
+    )(sn_slot, n1[:, None], sn_start[:, None], *rays_g, tmax_g, bounds)
 
     # ---- L2: extraction over the narrow candidate matrix ----
     k = min(PAIRS_PER_PACKET_CAP, k1 * KC)
@@ -640,16 +631,24 @@ def intersect_triangles_wavefront(pack, org, dirn, t_min, t_max,
 
     from .intersect import call_detached
 
-    # two-level pipeline when the cluster ids fit the key embedding;
-    # dense pipeline otherwise (huge scenes)
-    pipe = _pipeline2 if pack.wf_cl_lo.shape[0] < (1 << _ID_BITS) \
-        else _pipeline
-    t, slot, _, n_overflow = call_detached(
-        functools.partial(pipe, interpret=interpret),
-        pack.wf_cl_lo, pack.wf_cl_hi, pack.tri_geom,
-        org.astype(jnp.float32), dirn.astype(jnp.float32),
-        t_max.astype(jnp.float32),
-    )
+    # two-level pipeline when the cluster ids fit the key embedding and
+    # the compiler built supernode tables; dense pipeline otherwise
+    if (pack.wf_cl_lo.shape[0] < (1 << _ID_BITS)
+            and pack.wf_sn_lo.shape[0] > 0):
+        t, slot, _, n_overflow = call_detached(
+            functools.partial(_pipeline2, interpret=interpret),
+            pack.wf_sn_lo, pack.wf_sn_hi, pack.wf_sn_start,
+            pack.wf_sn_bounds, pack.tri_geom,
+            org.astype(jnp.float32), dirn.astype(jnp.float32),
+            t_max.astype(jnp.float32),
+        )
+    else:
+        t, slot, _, n_overflow = call_detached(
+            functools.partial(_pipeline, interpret=interpret),
+            pack.wf_cl_lo, pack.wf_cl_hi, pack.tri_geom,
+            org.astype(jnp.float32), dirn.astype(jnp.float32),
+            t_max.astype(jnp.float32),
+        )
     if os.environ.get("RRT_WF_CHECK"):
         jax.debug.print(
             "wavefront: {n} packet(s) overflowed PAIRS_PER_PACKET_CAP "

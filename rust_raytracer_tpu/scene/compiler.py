@@ -495,6 +495,66 @@ def compile_scene(scene: graph.SceneDef, dtype=jnp.float32):
     pln_mat = np.array([p[8] for p in pln], np.int32)
 
     # --- triangles: merge meshes, reorder by BVH, pad leaves ---
+    def _supernodes(bvh_min, bvh_max, bvh_miss, bvh_leaf, cluster, n_cl,
+                    cl_lo, cl_hi, sn_cap=128, big=3.4e38):
+        """Supernode grouping for the two-level wavefront pipeline
+        (ops/pallas_wavefront.py): maximal preorder BVH subtrees covering
+        <= sn_cap leaf clusters.  Subtree AABBs are TIGHT (vs fixed-stride
+        128-cluster runs whose union boxes inflate the L1 hit count), and
+        preorder subtrees own CONTIGUOUS cluster ranges, so a candidate's
+        global id is sn_start + lane.  Falls back to fixed-stride groups
+        if the builder's leaf order ever breaks contiguity."""
+        m = bvh_min.shape[0]
+        is_leaf_n = bvh_leaf >= 0
+        pref = np.concatenate([[0], np.cumsum(is_leaf_n)])
+        starts, lo_l, hi_l = [], [], []
+        covered = []
+        i = 0
+        ok = True
+        while i < m and ok:
+            skip = int(bvh_miss[i])
+            if skip <= i:
+                skip = m
+            cnt = int(pref[skip] - pref[i])
+            if cnt <= sn_cap:
+                sub = np.arange(i, skip)
+                cls = np.sort(bvh_leaf[sub[is_leaf_n[i:skip]]] // cluster)
+                if cnt:
+                    if cls[-1] - cls[0] + 1 != len(cls):
+                        ok = False  # non-contiguous: fall back
+                        break
+                    starts.append(int(cls[0]))
+                    lo_l.append(bvh_min[i])
+                    hi_l.append(bvh_max[i])
+                    covered.append(cls)
+                i = skip
+            else:
+                i += 1
+        if ok and covered:
+            allc = np.concatenate(covered)
+            ok = len(allc) == n_cl and len(np.unique(allc)) == n_cl
+        if not ok or not covered:
+            starts = list(range(0, n_cl, sn_cap))
+            lo_l = [cl_lo[s:s + sn_cap].min(0) for s in starts]
+            hi_l = [
+                np.where(cl_hi[s:s + sn_cap].max(0) <= -big,
+                         cl_lo[s:s + sn_cap].min(0),
+                         cl_hi[s:s + sn_cap].max(0))
+                for s in starts
+            ]
+            covered = [np.arange(s, min(s + sn_cap, n_cl)) for s in starts]
+        S = len(starts)
+        sn_lo = np.asarray(lo_l, np.float32).reshape(S, 3)
+        sn_hi = np.asarray(hi_l, np.float32).reshape(S, 3)
+        sn_start = np.asarray(starts, np.int32)
+        bounds = np.full((S, 6, sn_cap), big, np.float32)
+        for s in range(S):
+            cnt = len(covered[s])
+            c0 = starts[s]
+            bounds[s, 0:3, :cnt] = cl_lo[c0:c0 + cnt].T
+            bounds[s, 3:6, :cnt] = cl_hi[c0:c0 + cnt].T
+        return sn_lo, sn_hi, sn_start, bounds
+
     if c.meshes:
         cat = lambda k: np.concatenate([msh[k] for msh in c.meshes], axis=0)
         v0, e1, e2 = cat("v0"), cat("e1"), cat("e2")
@@ -567,6 +627,9 @@ def compile_scene(scene: graph.SceneDef, dtype=jnp.float32):
         cl_ids = bvh_leaf[leafs] // cluster
         wf_cl_lo[cl_ids] = bvh_min[leafs]
         wf_cl_hi[cl_ids] = bvh_max[leafs]
+        wf_sn = _supernodes(bvh_min, bvh_max, bvh_miss, bvh_leaf, cluster,
+                            n_cl, wf_cl_lo, wf_cl_hi)
+        wf_sn_lo, wf_sn_hi, wf_sn_start, wf_sn_bounds = wf_sn
     else:
         v0 = e1 = e2 = n0 = n1 = n2 = np.zeros((0, 3))
         uv0 = uv1 = uv2 = np.zeros((0, 2))
@@ -579,6 +642,10 @@ def compile_scene(scene: graph.SceneDef, dtype=jnp.float32):
         bvh8_aabb = np.zeros((0, 8, 128), np.float32)
         bvh8_child = np.zeros((0, 8), np.int32)
         wf_cl_lo = np.zeros((0, 3), np.float32)
+        wf_sn_lo = np.zeros((0, 3), np.float32)
+        wf_sn_hi = np.zeros((0, 3), np.float32)
+        wf_sn_start = np.zeros((0,), np.int32)
+        wf_sn_bounds = np.zeros((0, 6, 128), np.float32)
         wf_cl_hi = np.zeros((0, 3), np.float32)
 
     # --- volumes ---
@@ -632,6 +699,10 @@ def compile_scene(scene: graph.SceneDef, dtype=jnp.float32):
         bvh8_child=jnp.asarray(bvh8_child),
         wf_cl_lo=jnp.asarray(wf_cl_lo),
         wf_cl_hi=jnp.asarray(wf_cl_hi),
+        wf_sn_lo=jnp.asarray(wf_sn_lo),
+        wf_sn_hi=jnp.asarray(wf_sn_hi),
+        wf_sn_start=jnp.asarray(wf_sn_start),
+        wf_sn_bounds=jnp.asarray(wf_sn_bounds),
         vol_kind=i(vol_kind), vol_center=f(vol_center), vol_radius=f(vol_radius),
         vol_axes=f(vol_axes), vol_halfsize=f(vol_half),
         vol_neg_inv_density=f(vol_nid), vol_mat=i(vol_mat),

@@ -139,6 +139,15 @@ class ScenePack:
     #     BVH, one row per tri_geom cluster ---
     wf_cl_lo: Any       # (n_clusters, 3) f32
     wf_cl_hi: Any       # (n_clusters, 3) f32
+    # supernode grouping for the two-level wavefront pipeline: maximal
+    # BVH subtrees of <= 128 leaf clusters (tight boxes, contiguous
+    # cluster ranges in preorder)
+    wf_sn_lo: Any       # (S, 3) f32 supernode AABB lo
+    wf_sn_hi: Any       # (S, 3) f32 supernode AABB hi
+    wf_sn_start: Any    # (S,) i32 first cluster id of the supernode
+    wf_sn_bounds: Any   # (S, 6, 128) f32 per-supernode cluster slabs
+    #                     [sn, lo.xyz+hi.xyz, cluster-lane] padded with
+    #                     +BIG point boxes beyond the supernode's count
 
     # --- constant-density volumes (reference: object/volume.rs) ---
     vol_kind: Any       # (V,) int32: VOL_SPHERE | VOL_BOX
@@ -222,6 +231,10 @@ def empty_pack(dtype=jnp.float32) -> ScenePack:
         bvh8_aabb=_empty((0, 8, 128), jnp.float32),
         wf_cl_lo=_empty((0, 3), jnp.float32),
         wf_cl_hi=_empty((0, 3), jnp.float32),
+        wf_sn_lo=_empty((0, 3), jnp.float32),
+        wf_sn_hi=_empty((0, 3), jnp.float32),
+        wf_sn_start=_empty((0,), jnp.int32),
+        wf_sn_bounds=_empty((0, 6, 128), jnp.float32),
         bvh8_child=_empty((0, 8), jnp.int32),
         vol_kind=_empty((0,), i32), vol_center=_empty((0, 3), dtype),
         vol_radius=_empty((0,), dtype), vol_axes=_empty((0, 3, 3), dtype),
