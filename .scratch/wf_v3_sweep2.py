@@ -47,7 +47,7 @@ def run(k1, kc, cap):
     print(f"K1={k1} KC={kc} cap={cap}: {dt:6.1f} ms  id={id_match:.5f} "
           f"pairs={int(n_pairs)} ovf={int(n_ovf)}", flush=True)
 
-run(32, 32, 160)
-run(40, 32, 160)
-run(48, 32, 128)
-run(32, 32, 128)
+run(40, 16, 96)
+run(40, 16, 128)
+run(40, 32, 128)
+run(40, 32, 96)

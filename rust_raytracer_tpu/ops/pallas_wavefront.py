@@ -59,12 +59,12 @@ GRP = 16         # slots per skip-branch group (valid slots are a prefix of
 BANKS = 8        # independent best accumulators: consecutive same-packet
                  # slots would otherwise serialize on the running-best
                  # min chain (measured 204 ns/pair -> latency-bound)
-PAIRS_PER_PACKET_CAP = 160  # static slot capacity per packet.  Mean real
+PAIRS_PER_PACKET_CAP = 128  # static slot capacity per packet.  Mean real
                             # pair count is ~33 on the 870k-tri benchmark;
-                            # the prefix-skip makes slack slots nearly free
-                            # (cap 64 -> 128 measured +1% step time).
-                            # Sweep r4 (with K1=48/KC=32): id agreement
-                            # 0.99905 vs BVH8 at 170 ms vs 482 ms
+                            # the prefix-skip makes slack slots nearly free.
+                            # Sweep r4 (subtree supernodes, K1=40/KC=32):
+                            # cap 128 -> 135 ms at id 0.99911 vs BVH8,
+                            # cap 96 -> 134 ms at 0.99775 (too lossy)
 
 BIG = 3.4e38
 T_MIN_STATIC = 1e-3  # reference: camera.rs:294 interval lower bound
@@ -355,6 +355,57 @@ def _make_cull_kernel(k1: int, kc: int):
     return kernel
 
 
+def _make_compact_kernel(width: int, k: int):
+    """Row compaction kernel: (8 packets, width) candidate keys ->
+    (8, k) prefix-dense keys + (8, 1) counts, via the same butterfly
+    lane compaction as kernel A but across the whole padded row.
+    Replaces lax.top_k over the candidate matrix (~18 ns/row/128-lanes
+    measured): stable routing keeps block-major order, which is already
+    near-to-far at supernode granularity."""
+
+    def kernel(keys_ref, out_ref, cnt_ref):
+        keys = keys_ref[...]
+        valid = (keys >= 0).astype(jnp.int32)
+        routed_valid, routed, cnt = _lane_compact(valid, keys)
+        out_ref[...] = jnp.where(
+            routed_valid[:, :k] > 0, routed[:, :k], -1
+        )
+        cnt_ref[...] = cnt  # unclamped: the caller detects cap overflow
+
+    return kernel
+
+
+def _compact_candidates(keys_flat, k, interpret):
+    """(n_pk, W) keys -> (cl (n_pk,k), cnt (n_pk,)) via the compaction
+    kernel; W is padded to a power of two for the butterfly."""
+    n_pk, w = keys_flat.shape
+    w2 = 1 << (w - 1).bit_length()
+    if w2 != w:
+        keys_flat = jnp.pad(keys_flat, ((0, 0), (0, w2 - w)),
+                            constant_values=-1)
+    out, cnt = pl.pallas_call(
+        _make_compact_kernel(w2, k),
+        grid=(n_pk // 8,),
+        in_specs=[pl.BlockSpec((8, w2), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((8, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pk, k), jnp.int32),
+            jax.ShapeDtypeStruct((n_pk, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(keys_flat)
+    return out, cnt[:, 0]
+
+
 def _to_groups(a):
     """(N,) -> (G, R, 128): [g, r, c] = a[(g*128 + c)*R + r]."""
     return jnp.transpose(a.reshape(-1, 128, R), (0, 2, 1))
@@ -588,12 +639,11 @@ def _pipeline2(sn_lo, sn_hi, sn_start, sn_bounds, tri_geom, org, dirn,
         interpret=interpret,
     )(sn_slot, n1[:, None], sn_start[:, None], *rays_g, tmax_g, bounds)
 
-    # ---- L2: extraction over the narrow candidate matrix ----
+    # ---- L2: compaction of the candidate matrix (Pallas butterfly) ----
     k = min(PAIRS_PER_PACKET_CAP, k1 * KC)
     flat = keys.reshape(n_pk, k1 * KC)
-    top, _ = lax.top_k(flat, k)
+    top, real = _compact_candidates(flat, k, interpret)
     cl = jnp.where(top >= 0, top & ((1 << _ID_BITS) - 1), 0)
-    real = jnp.sum(flat >= 0, axis=1, dtype=jnp.int32)
     cnt = jnp.minimum(real, k)
     n_pairs = jnp.sum(cnt, dtype=jnp.int32)
     dropped = (
