@@ -486,6 +486,10 @@ def _pipeline(cl_lo, cl_hi, tri_geom, org, dirn, t_max, *, interpret):
 def _mt_call(cl, cnt, tri_geom, org, dirn, t_max, k, interpret):
     """Shared MT-kernel invocation: (cl, cnt) fixed slot layout -> (t, slot)
     in group layout, returned flattened to caller lane order."""
+    # only rows 0-9 (v0/e1/e2/hit_back) are used: slicing shrinks both the
+    # VMEM residency (81 -> 51 MB on the 870k-tri bench) and every
+    # per-slot dynamic block load
+    tri_geom = tri_geom[:, :10, :]
     rays_g = [
         _to_groups(org[:, 0]), _to_groups(org[:, 1]), _to_groups(org[:, 2]),
         _to_groups(dirn[:, 0]), _to_groups(dirn[:, 1]), _to_groups(dirn[:, 2]),
