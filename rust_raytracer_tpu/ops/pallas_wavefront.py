@@ -277,14 +277,11 @@ def _make_cull_kernel(k1: int, kc: int):
             tm = _lane_extract(tmax_ref[g], c)
             n1 = n1_ref[j, 0]
 
+            # batches entirely beyond n1 are SKIPPED and their key_out /
+            # cnt_out rows left as garbage: the downstream compaction
+            # kernel masks lanes >= n1*KC and the overflow stat masks
+            # slots >= n1, so uninitialized rows are never read as valid
             for batch in range(k1 // 8):
-                @pl.when(batch * 8 >= n1)
-                def _(batch=batch):
-                    key_out[j, batch * 8:batch * 8 + 8, :] = jnp.full(
-                        (8, kc), -1, jnp.int32)
-                    cnt_out[j, batch * 8:batch * 8 + 8, :] = jnp.zeros(
-                        (8, 1), jnp.int32)
-
                 @pl.when(batch * 8 < n1)
                 def _(batch=batch):
                     # 8 supernode slots -> one (8, 128) any-hit tile
@@ -363,9 +360,12 @@ def _make_compact_kernel(width: int, k: int):
     measured): stable routing keeps block-major order, which is already
     near-to-far at supernode granularity."""
 
-    def kernel(keys_ref, out_ref, cnt_ref):
+    def kernel(keys_ref, lim_ref, out_ref, cnt_ref):
         keys = keys_ref[...]
-        valid = (keys >= 0).astype(jnp.int32)
+        lane = lax.broadcasted_iota(jnp.int32, keys.shape, 1)
+        # lanes beyond each packet's n1*KC candidate window are garbage
+        # (kernel A skips whole batches past n1): mask them out here
+        valid = ((keys >= 0) & (lane < lim_ref[...])).astype(jnp.int32)
         routed_valid, routed, cnt = _lane_compact(valid, keys)
         out_ref[...] = jnp.where(
             routed_valid[:, :k] > 0, routed[:, :k], -1
@@ -375,9 +375,10 @@ def _make_compact_kernel(width: int, k: int):
     return kernel
 
 
-def _compact_candidates(keys_flat, k, interpret):
-    """(n_pk, W) keys -> (cl (n_pk,k), cnt (n_pk,)) via the compaction
-    kernel; W is padded to a power of two for the butterfly."""
+def _compact_candidates(keys_flat, limits, k, interpret):
+    """(n_pk, W) keys + per-packet valid-lane limits -> (cl (n_pk,k),
+    cnt (n_pk,)) via the compaction kernel; W is padded to a power of
+    two for the butterfly."""
     n_pk, w = keys_flat.shape
     w2 = 1 << (w - 1).bit_length()
     if w2 != w:
@@ -387,6 +388,8 @@ def _compact_candidates(keys_flat, k, interpret):
         _make_compact_kernel(w2, k),
         grid=(n_pk // 8,),
         in_specs=[pl.BlockSpec((8, w2), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((8, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[
             pl.BlockSpec((8, k), lambda i: (i, 0),
@@ -402,7 +405,7 @@ def _compact_candidates(keys_flat, k, interpret):
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(keys_flat)
+    )(keys_flat, limits[:, None])
     return out, cnt[:, 0]
 
 
@@ -646,13 +649,14 @@ def _pipeline2(sn_lo, sn_hi, sn_start, sn_bounds, tri_geom, org, dirn,
     # ---- L2: compaction of the candidate matrix (Pallas butterfly) ----
     k = min(PAIRS_PER_PACKET_CAP, k1 * KC)
     flat = keys.reshape(n_pk, k1 * KC)
-    top, real = _compact_candidates(flat, k, interpret)
+    top, real = _compact_candidates(flat, n1 * KC, k, interpret)
     cl = jnp.where(top >= 0, top & ((1 << _ID_BITS) - 1), 0)
     cnt = jnp.minimum(real, k)
     n_pairs = jnp.sum(cnt, dtype=jnp.int32)
+    slot_live = lax.broadcasted_iota(jnp.int32, (n_pk, k1), 1) < n1[:, None]
     dropped = (
         (l1_cnt > k1) | (real > k)
-        | jnp.any(blk_cnt[:, :, 0] > KC, axis=1)
+        | jnp.any((blk_cnt[:, :, 0] > KC) & slot_live, axis=1)
     )
     n_overflow = jnp.sum(dropped, dtype=jnp.int32)
 
