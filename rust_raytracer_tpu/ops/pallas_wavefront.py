@@ -14,29 +14,44 @@ Why (measured on the cornell_dragon steady-state wavefront, v5e):
     bound); a data-dependent work-LIST processed by a dense batched
     kernel pays that tax once per 32 MT tiles instead of once per node.
 
-Pipeline (one XLA+Pallas program, jit-fused):
+The production path is the TWO-LEVEL pipeline (`_pipeline2`; one XLA +
+three Pallas launches, jit-fused; 482 -> 130 ms on the 2^18-lane
+cornell_dragon steady-state wavefront):
 
-  1. XLA dense cull: per-ray slab test against every cluster AABB
-     (pack.wf_cl_lo/hi), reduced to 8-ray-packet granularity.
-  2. XLA extraction: `nonzero` over the (packet, cluster) mask ->
-     packet-major pair list, statically capped (CAP overflow detectable).
-  3. Pallas MT kernel: for each pair, one native (8 rays x 128 tris)
-     Moller-Trumbore tile against the VMEM-resident cluster geometry,
-     with a running per-packet best and one-hot lane flushes.
+  L1 (XLA):     per-packet slab keys vs the scene's ~100 supernode boxes
+                (maximal BVH subtrees of <= 128 leaf clusters, built by
+                scene/compiler._supernodes) + top_k K1 -> near-ordered
+                supernode slots.  The matrix is ~100 wide, not ~10k, so
+                the top_k costs ~ms (a dense cluster-level top_k was
+                measured a flat 252-324 ms regardless of k/dtype).
+  A (Pallas):   per (packet, supernode slot): one (8 rays x 128
+                clusters) slab tile, then a butterfly lane compaction
+                (LSB-first bit-fixing on the cube network — conflict-free
+                for monotone routes; static jnp.roll + selects only)
+                emits <= KC candidate keys per block with the quantized
+                entry-t and global cluster id packed into each key.
+  L2 (Pallas):  a second butterfly compaction of each packet's
+                (K1*KC-wide) candidate row -> prefix-dense slot list +
+                count (replaces a ~23 ms top_k).
+  MT (Pallas):  fixed-layout Moller-Trumbore: slot j of row p belongs to
+                packet p, rays load/flush once per packet, one scalar
+                branch per GRP slots skips the invalid tail; one native
+                (8 x 128) tile per (packet, cluster) pair.
+
+`_pipeline` (dense single-level cull + top_k) remains as the fallback
+for scenes whose cluster count exceeds the key embedding (2^14).
 
 Correctness parity: identical hit rules to ops/pallas_bvh8.py /
 ops/intersect.py (reference: mesh.rs:61-101; traversal order is
 irrelevant to closest-hit semantics).  Rays are assumed pre-sorted by
 the integrator's compaction key so 8-lane packets are coherent.
 
-Capacity caveat: each packet keeps at most PAIRS_PER_PACKET_CAP
-clusters — the CAP with the *smallest slab-entry t* (the pair list is
-sorted near-to-far per packet).  A packet overlapping more clusters
-than the cap drops the farthest ones, which can miss the true closest
-hit only if a hit hides behind CAP nearer clusters.  `_pipeline`
-returns the number of overflowing packets; the wrapper warns when
-RRT_WF_CHECK is set.  The mean is ~33 pairs/packet on the 870k-tri
-benchmark (cap 128; 198/32768 packets overflow).
+Capacity caveats (each detectable: the pipelines return the overflowing
+packet count; the wrapper warns when RRT_WF_CHECK is set): K1 supernode
+slots, KC clusters per (packet, supernode), PAIRS_PER_PACKET_CAP total —
+all keep the NEAREST entries, so a dropped hit must hide behind a full
+cap of nearer geometry.  Measured on the 870k-tri benchmark: ~33 real
+pairs/packet, 23/32768 packets overflow, id agreement 0.99912 vs BVH8.
 """
 from __future__ import annotations
 
