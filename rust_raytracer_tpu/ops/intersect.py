@@ -304,19 +304,48 @@ def _fits_vmem(pack: sp.ScenePack) -> bool:
     return pack.bvh8_child.shape[0] > 0 and geom <= _BVH8_VMEM_BUDGET
 
 
+def _wavefront_vmem_ok(pack: sp.ScenePack) -> bool:
+    """VMEM residency check for the wavefront pipeline: the MT kernel
+    holds the 10-row tri_geom slice and kernel A the full supernode
+    bounds table (a fragmented BVH can blow sn_bounds up to (S, 6, 128)
+    f32 — counting tri_geom alone let such scenes pass the check and die
+    in Mosaic at render time)."""
+    mt_bytes = pack.tri_geom.shape[0] * 10 * 128 * 4
+    cull_bytes = pack.wf_sn_bounds.size * 4
+    return max(mt_bytes, cull_bytes) <= _BVH8_VMEM_BUDGET
+
+
 def intersect_triangles(pack: sp.ScenePack, org, dirn, t_min, t_max,
-                        kernel: str = "auto"):
+                        kernel: str = "auto", return_stats: bool = False):
     """Closest triangle hit via the cluster BVH.
 
-    TPU: Pallas packet traversal (tile of rays shares one cursor; leaf
-    clusters DMA'd and tested densely).  Fallback: per-lane stackless
-    traversal of the same threaded BVH; leaves loop over their CLUSTER
-    padded triangles in LEAF_CHUNK-sized steps.
+    TPU ("auto"): the cull->MT wavefront pipeline — fastest on bounce
+    wavefronts, but APPROXIMATE when a packet overflows its static
+    candidate capacity (measured ~0.1% of packets / 0.999 hit-id
+    agreement on the 870k-tri bench; see ops/pallas_wavefront.py).  The
+    overflow count is surfaced: with return_stats=True the return is
+    (t, i, stats) with stats["wf_overflow"] the number of capacity-
+    overflowed packets (0 for the exact kernels), which the pool
+    renderer accumulates into RenderMetrics.  kernel="pallas" (BVH8
+    packet walk) and kernel="jnp" (portable while_loop) are exact; an
+    explicit kernel="wavefront" raises if the pipeline cannot run
+    (TPU + compiled supernode tables + VMEM fit) rather than silently
+    downgrading.
     """
     n_nodes = pack.bvh_min.shape[0]
     n_tris = pack.tri_v0.shape[0]
     if n_tris == 0 or n_nodes == 0:
-        return t_max, jnp.full(org.shape[:-1], -1, jnp.int32)
+        t_out = t_max
+        i_out = jnp.full(org.shape[:-1], -1, jnp.int32)
+        if return_stats:
+            return t_out, i_out, {"wf_overflow": jnp.int32(0)}
+        return t_out, i_out
+
+    def _ret(t, i, overflow=None):
+        if return_stats:
+            ov = jnp.int32(0) if overflow is None else overflow
+            return t, i, {"wf_overflow": ov}
+        return t, i
 
     # The cull->MT wavefront pipeline is both the explicit "wavefront"
     # choice and the TPU default ("auto"): measured 385 ms vs the BVH8
@@ -324,24 +353,35 @@ def intersect_triangles(pack: sp.ScenePack, org, dirn, t_min, t_max,
     # (2^18 lanes, r4).  It is a real Mosaic kernel with the whole
     # tri_geom VMEM-resident, so it needs a TPU backend and a scene that
     # fits; otherwise fall through to BVH8 / streaming / jnp.
-    if (kernel in ("wavefront", "auto")
-            and use_pallas("auto")
-            and pack.wf_cl_lo.shape[0] > 0
-            and pack.tri_geom.size * 4 <= _BVH8_VMEM_BUDGET):
+    wavefront_ok = (
+        use_pallas("auto")
+        and pack.wf_cl_lo.shape[0] > 0
+        and _wavefront_vmem_ok(pack)
+    )
+    if kernel == "wavefront" and not wavefront_ok:
+        raise ValueError(
+            "kernel='wavefront' requested but the pipeline cannot run "
+            f"(backend={jax.default_backend()}, "
+            f"supernode_tables={pack.wf_cl_lo.shape[0] > 0}, "
+            f"vmem_fit={_wavefront_vmem_ok(pack)}); use kernel='auto' "
+            "for automatic fallback"
+        )
+    if kernel in ("wavefront", "auto") and wavefront_ok:
         from . import pallas_wavefront as pwf
 
-        return pwf.intersect_triangles_wavefront(pack, org, dirn, t_min,
-                                                 t_max)
-    if kernel == "wavefront":
-        kernel = "auto"
+        t, i, ov = pwf.intersect_triangles_wavefront(
+            pack, org, dirn, t_min, t_max, return_overflow=True)
+        return _ret(t, i, ov)
     if use_pallas(kernel):
         if _fits_vmem(pack):
             from . import pallas_bvh8 as pb8
 
-            return pb8.intersect_triangles_bvh8(pack, org, dirn, t_min, t_max)
+            return _ret(*pb8.intersect_triangles_bvh8(pack, org, dirn,
+                                                      t_min, t_max))
         from . import pallas_intersect as ppi
 
-        return ppi.intersect_triangles_pallas(pack, org, dirn, t_min, t_max)
+        return _ret(*ppi.intersect_triangles_pallas(pack, org, dirn,
+                                                    t_min, t_max))
 
     from . import pallas_intersect as ppi
 
@@ -404,7 +444,7 @@ def intersect_triangles(pack: sp.ScenePack, org, dirn, t_min, t_max,
     node0 = jnp.zeros((n,), jnp.int32)
     best_i0 = jnp.full((n,), -1, jnp.int32)
     _, best_t, best_i = lax.while_loop(cond, body, (node0, t_max, best_i0))
-    return best_t, best_i
+    return _ret(best_t, best_i)
 
 
 # ---------------------------------------------------------------------------
@@ -519,8 +559,11 @@ SUN_THETA_MAX = 1e-3  # reference: sun.rs:14
 
 
 def intersect(pack: sp.ScenePack, org, dirn, t_min, rng_ctx, alive=None,
-              kernel: str = "auto") -> Hit:
-    """Closest hit across all primitive classes.
+              kernel: str = "auto", return_stats: bool = False):
+    """Closest hit across all primitive classes.  Returns Hit, or
+    (Hit, stats) with return_stats=True — stats currently carries
+    "wf_overflow", the wavefront kernel's capacity-overflow packet count
+    (see intersect_triangles).
 
     Ordering semantics match the reference's ObjectList scan with shrinking
     intervals: finite surface hits beat volumes' truncated free-flight
@@ -544,8 +587,8 @@ def intersect(pack: sp.ScenePack, org, dirn, t_min, rng_ctx, alive=None,
     tri_tmax = jnp.minimum(t_sph, t_pln)
     if alive is not None:
         tri_tmax = jnp.where(alive, tri_tmax, 0.0).astype(org.dtype)
-    t_tri, i_tri = intersect_triangles(pack, org, dirn, t_min, tri_tmax,
-                                       kernel=kernel)
+    t_tri, i_tri, stats = intersect_triangles(
+        pack, org, dirn, t_min, tri_tmax, kernel=kernel, return_stats=True)
     t_tri = jnp.where(i_tri >= 0, t_tri, jnp.inf)
 
     # closest surface
@@ -591,7 +634,10 @@ def intersect(pack: sp.ScenePack, org, dirn, t_min, rng_ctx, alive=None,
         prim = jnp.where(miss, n_sky - 1, prim)
         t_best = jnp.where(miss, jnp.inf, t_best)
 
-    return Hit(t=t_best, kind=kind, prim=prim)
+    hit = Hit(t=t_best, kind=kind, prim=prim)
+    if return_stats:
+        return hit, stats
+    return hit
 
 
 class HitAttributes(NamedTuple):

@@ -28,8 +28,10 @@ cornell_dragon steady-state wavefront):
                 clusters) slab tile, then a butterfly lane compaction
                 (LSB-first bit-fixing on the cube network — conflict-free
                 for monotone routes; static jnp.roll + selects only)
-                emits <= KC candidate keys per block with the quantized
-                entry-t and global cluster id packed into each key.
+                emits <= KC candidate keys per block, each the global
+                cluster id (block-major rows are near-ordered at
+                supernode granularity; within a block the stable
+                compaction keeps cluster-id order).
   L2 (Pallas):  a second butterfly compaction of each packet's
                 (K1*KC-wide) candidate row -> prefix-dense slot list +
                 count (replaces a ~23 ms top_k).
@@ -46,12 +48,17 @@ ops/intersect.py (reference: mesh.rs:61-101; traversal order is
 irrelevant to closest-hit semantics).  Rays are assumed pre-sorted by
 the integrator's compaction key so 8-lane packets are coherent.
 
-Capacity caveats (each detectable: the pipelines return the overflowing
-packet count; the wrapper warns when RRT_WF_CHECK is set): K1 supernode
-slots, KC clusters per (packet, supernode), PAIRS_PER_PACKET_CAP total —
-all keep the NEAREST entries, so a dropped hit must hide behind a full
-cap of nearer geometry.  Measured on the 870k-tri benchmark: ~33 real
-pairs/packet, 23/32768 packets overflow, id agreement 0.99912 vs BVH8.
+Capacity caveats — the pipeline is APPROXIMATE under overflow.  K1
+supernode slots keep the nearest supernodes (top_k of entry-t); the KC
+within-block cap and the PAIRS_PER_PACKET_CAP truncation keep entries in
+supernode-granular near order only (the butterfly compaction is stable in
+lane order: within a block, surviving clusters are id-ordered, not
+t-ordered), so a dropped hit must hide behind a full cap of geometry
+whose SUPERNODE entered no farther.  Measured on the 870k-tri benchmark:
+~33 real pairs/packet, 23/32768 packets overflow, id agreement 0.99912
+vs the exact BVH8 walk.  Every pipeline returns the overflowing packet
+count; callers surface it (RenderMetrics wf_overflow) — set
+RRT_WF_CHECK=1 for an additional per-call debug print.
 """
 from __future__ import annotations
 
@@ -269,9 +276,11 @@ def _lane_compact(valid_i, vals):
 def _make_cull_kernel(k1: int, kc: int):
     """Kernel A of the two-level pipeline: for each packet, slab-test its
     K1 L1-selected supernode blocks (8 rays x 128 clusters per tile),
-    lane-compact the hit clusters of each block to KC slots, and emit
-    candidate keys with the global cluster id embedded in the low
-    _ID_BITS (so the later top_k needs no gather to recover ids).
+    lane-compact the hit clusters of each block to KC slots, and emit the
+    global cluster ids as candidate keys (the downstream compaction is
+    stable, so candidates stay block-major: near-ordered at supernode
+    granularity, id-ordered within a block — no gather needed to recover
+    ids and no per-candidate t survives to the MT stage).
     """
     assert k1 % 8 == 0
 
@@ -325,23 +334,11 @@ def _make_cull_kernel(k1: int, kc: int):
                         )
                         hit = near <= far
                         anyhit = jnp.any(hit, axis=0, keepdims=True) & live
-                        # cluster entry t (min over rays), quantized to
-                        # its top 10 monotone float bits: rides through
-                        # the compaction packed above the local lane id,
-                        # so the final top_k orders candidates
-                        # near-to-far GLOBALLY (not just block-major)
-                        t_ent = jnp.min(
-                            jnp.where(hit, near, BIG), axis=0, keepdims=True
-                        )
-                        qt = jnp.clip(
-                            lax.bitcast_convert_type(t_ent, jnp.int32) >> 21,
-                            0, 1023,
-                        )
                         mrows[s8:s8 + 1, :] = anyhit.astype(jnp.int32)
-                        qrows[s8:s8 + 1, :] = (
-                            (qt << 7)
-                            | lax.broadcasted_iota(jnp.int32, (1, SN), 1)
-                        )
+                        # value routed through the compaction: the local
+                        # cluster id (0..SN-1) within this supernode
+                        qrows[s8:s8 + 1, :] = lax.broadcasted_iota(
+                            jnp.int32, (1, SN), 1)
                         snrows[s8:s8 + 1, :] = jnp.full(
                             (1, SN), sn_base, jnp.int32)
 
@@ -349,13 +346,11 @@ def _make_cull_kernel(k1: int, kc: int):
                         mrows[...], qrows[...],
                     )
                     lane = lax.broadcasted_iota(jnp.int32, (8, SN), 1)
-                    local = packed & 127
-                    qt = lax.shift_right_logical(packed, 7) & 1023
-                    gid = snrows[...] + local
+                    # snrows is per-row constant, so it needs no routing:
+                    # global id = block base + compacted local id
+                    gid = snrows[...] + packed
                     key = jnp.where(
-                        (valid > 0) & (lane < kc),
-                        ((1023 - qt) << _ID_BITS) | gid,
-                        -1,
+                        (valid > 0) & (lane < kc), gid, -1,
                     )
                     key_out[j, batch * 8:batch * 8 + 8, :] = key[:, :kc]
                     cnt_out[j, batch * 8:batch * 8 + 8, :] = cnt8
@@ -559,11 +554,11 @@ def _pipeline2(sn_lo, sn_hi, sn_start, sn_bounds, tri_geom, org, dirn,
                      the matrix is 78 wide, not 9918).
       A  (Pallas):   per (packet, supernode slot): one (8 x 128) slab
                      tile, then an in-register lane compaction (static
-                     masked rolls) emits <= KC candidate keys with the
-                     global cluster id embedded in the low bits.
-      L2 (XLA):      top_k over the (n_pk, K1*KC) candidates (13x
-                     narrower than nc) -> the MT kernel's fixed slot
-                     rows; ids decode from the keys, no gathers.
+                     masked rolls) emits <= KC global cluster ids.
+      L2 (Pallas):   stable butterfly compaction of the (n_pk, K1*KC)
+                     candidate rows -> the MT kernel's fixed slot rows
+                     (block-major: near-ordered at supernode granularity
+                     only); no gathers, no top_k.
       MT (Pallas):   unchanged.
 
     Requires nc < 2**_ID_BITS (the id embedding); the dispatch falls back
@@ -665,7 +660,7 @@ def _pipeline2(sn_lo, sn_hi, sn_start, sn_bounds, tri_geom, org, dirn,
     k = min(PAIRS_PER_PACKET_CAP, k1 * KC)
     flat = keys.reshape(n_pk, k1 * KC)
     top, real = _compact_candidates(flat, n1 * KC, k, interpret)
-    cl = jnp.where(top >= 0, top & ((1 << _ID_BITS) - 1), 0)
+    cl = jnp.where(top >= 0, top, 0)
     cnt = jnp.minimum(real, k)
     n_pairs = jnp.sum(cnt, dtype=jnp.int32)
     slot_live = lax.broadcasted_iota(jnp.int32, (n_pk, k1), 1) < n1[:, None]
@@ -680,18 +675,26 @@ def _pipeline2(sn_lo, sn_hi, sn_start, sn_bounds, tri_geom, org, dirn,
 
 
 def intersect_triangles_wavefront(pack, org, dirn, t_min, t_max,
-                                  interpret: bool = False):
+                                  interpret: bool = False,
+                                  return_overflow: bool = False):
     """Closest triangle hit via the cull->MT pipeline.  Drop-in for
     ops.pallas_bvh8.intersect_triangles_bvh8 (same contract: returns
     (t, slot) with t == t_max where nothing was hit; t_min is the static
     T_MIN).  Rays should be compaction-sorted for speed (not required
-    for correctness).  See the module docstring for the
-    PAIRS_PER_PACKET_CAP overflow caveat; set RRT_WF_CHECK=1 to emit a
-    runtime warning when any packet overflows the cap."""
+    for correctness).
+
+    APPROXIMATE under capacity overflow (see the module docstring): a
+    packet with more candidate work than K1/KC/PAIRS_PER_PACKET_CAP can
+    drop real hits.  With return_overflow=True the return is
+    (t, slot, n_overflow) where n_overflow is the number of packets that
+    hit any cap this call — callers surface it (RenderMetrics).  Set
+    RRT_WF_CHECK=1 for an additional per-call debug print."""
     import os
 
     n = org.shape[0]
     if pack.tri_geom.shape[0] == 0 or pack.wf_cl_lo.shape[0] == 0:
+        if return_overflow:
+            return t_max, jnp.full((n,), -1, jnp.int32), jnp.int32(0)
         return t_max, jnp.full((n,), -1, jnp.int32)
 
     group = 128 * R
@@ -730,4 +733,7 @@ def intersect_triangles_wavefront(pack, org, dirn, t_min, t_max,
     t = t[:n]
     slot = slot[:n]
     miss = slot < 0
-    return jnp.where(miss, jnp.asarray(t_max[:n], jnp.float32), t), slot
+    t = jnp.where(miss, jnp.asarray(t_max[:n], jnp.float32), t)
+    if return_overflow:
+        return t, slot, n_overflow
+    return t, slot

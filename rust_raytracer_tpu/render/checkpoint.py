@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from . import pool as poolmod
 
 _FIELDS = ("org", "dirn", "throughput", "radiance", "pixel", "sample",
-           "bounce", "active", "accum", "next_flat")
+           "bounce", "active", "accum", "next_flat", "overflow")
 
 
 def save_pool_state(path: str, state: poolmod.PoolState, meta: dict = None):
@@ -48,8 +48,11 @@ def save_pool_state(path: str, state: poolmod.PoolState, meta: dict = None):
 def load_pool_state(path: str):
     """Returns (PoolState, meta dict)."""
     with np.load(path) as z:
-        arrays = {f: z[f] for f in _FIELDS}
+        arrays = {f: z[f] for f in _FIELDS if f in z.files}
         meta = {k[5:]: z[k] for k in z.files if k.startswith("meta_")}
+    # checkpoints written before the overflow counter existed load as 0
+    if "overflow" not in arrays:
+        arrays["overflow"] = np.zeros(arrays["next_flat"].shape, np.int32)
     state = poolmod.PoolState(**{
         f: jnp.asarray(v) for f, v in arrays.items()
     })

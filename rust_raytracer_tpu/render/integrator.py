@@ -95,15 +95,17 @@ def shade_vertex(pack, static, org, dirn, ctx, light_bias, alive,
     the persistent ray pool (render/pool.py): closest hit, texture program,
     NEE-mixture shading, miss -> background.
 
-    Returns (emission, weight, new_dir, ended, pos):
+    Returns (emission, weight, new_dir, ended, pos, stats):
       emission (N, 3) — radiance emitted at this vertex (background on miss)
       weight   (N, 3) — throughput multiplier for the next segment
       new_dir  (N, 3) — next ray direction
       ended    (N,)   — path terminates at this vertex (miss/absorb/emissive)
       pos      (N, 3) — hit position (next ray origin)
+      stats    dict   — scalar counters ("wf_overflow": wavefront-kernel
+                        capacity-overflowed packets this step)
     """
-    hit = isect.intersect(pack, org, dirn, T_MIN, ctx, alive=alive,
-                          kernel=kernel)
+    hit, stats = isect.intersect(pack, org, dirn, T_MIN, ctx, alive=alive,
+                                 kernel=kernel, return_stats=True)
     # detach traversal decisions (ids + raw t); hit_attributes recomputes
     # t differentiably, keeping the BVH while_loop out of the AD graph
     hit = jax.tree_util.tree_map(lax.stop_gradient, hit)
@@ -122,7 +124,7 @@ def shade_vertex(pack, static, org, dirn, ctx, light_bias, alive,
     miss = ~attr.valid
     emission = jnp.where(miss[:, None], pack.background[None, :], res.emission)
     ended = res.terminate | miss
-    return emission, res.weight, res.new_dir, ended, attr.pos
+    return emission, res.weight, res.new_dir, ended, attr.pos, stats
 
 
 def trace(
@@ -166,7 +168,7 @@ def trace(
 
         ctx = vrng.Ctx(pixel=pixel, sample=sample, bounce=depth, seed=seed)
 
-        emission, weight, next_dir, ended, pos = shade_vertex(
+        emission, weight, next_dir, ended, pos, _ = shade_vertex(
             pack, static, org, dirn, ctx, light_bias, alive, kernel=kernel
         )
 

@@ -55,10 +55,10 @@ class PoolState:
     """
 
     __slots__ = ("org", "dirn", "throughput", "radiance", "pixel", "sample",
-                 "bounce", "active", "accum", "next_flat")
+                 "bounce", "active", "accum", "next_flat", "overflow")
 
     def __init__(self, org, dirn, throughput, radiance, pixel, sample,
-                 bounce, active, accum, next_flat):
+                 bounce, active, accum, next_flat, overflow):
         self.org = org
         self.dirn = dirn
         self.throughput = throughput
@@ -69,12 +69,16 @@ class PoolState:
         self.active = active
         self.accum = accum
         self.next_flat = next_flat
+        # (n_shards,) i32: cumulative wavefront-kernel capacity-overflow
+        # packet count (0 when the exact kernels run) — surfaced through
+        # RenderMetrics so approximate traversal is never silent
+        self.overflow = overflow
 
 
 def _flatten(s):
     return (
         (s.org, s.dirn, s.throughput, s.radiance, s.pixel, s.sample,
-         s.bounce, s.active, s.accum, s.next_flat),
+         s.bounce, s.active, s.accum, s.next_flat, s.overflow),
         None,
     )
 
@@ -97,6 +101,7 @@ def init_state(n_lanes: int, n_pixels: int, dtype=jnp.float32,
         active=jnp.zeros((n_lanes,), bool),
         accum=jnp.zeros((n_shards, n_pixels, 3), dtype),
         next_flat=jnp.zeros((n_shards,), jnp.uint32),
+        overflow=jnp.zeros((n_shards,), jnp.int32),
     )
 
 
@@ -141,10 +146,11 @@ def make_step(pack, static, camera, total: int, spp: int, seed,
 
         ctx = vrng.Ctx(pixel=s.pixel, sample=s.sample, bounce=s.bounce,
                        seed=seed)
-        emission, weight, new_dir, ended, pos = integrator.shade_vertex(
+        emission, weight, new_dir, ended, pos, stats = integrator.shade_vertex(
             pack, static, s.org, s.dirn, ctx, light_bias, s.active,
             kernel=kernel,
         )
+        overflow = s.overflow[0] + stats["wf_overflow"]
 
         act = s.active[:, None]
         radiance = s.radiance + s.throughput * emission * act
@@ -200,7 +206,8 @@ def make_step(pack, static, camera, total: int, spp: int, seed,
         return PoolState(org=org, dirn=dirn, throughput=throughput,
                          radiance=radiance, pixel=pixel, sample=sample,
                          bounce=bounce, active=active,
-                         accum=accum[None], next_flat=next_local[None])
+                         accum=accum[None], next_flat=next_local[None],
+                         overflow=overflow[None])
 
     if mesh is None:
         return jax.jit(step_local, donate_argnums=(1,))
@@ -209,7 +216,7 @@ def make_step(pack, static, camera, total: int, spp: int, seed,
     state_spec = PoolState(
         org=lane, dirn=lane, throughput=lane, radiance=lane, pixel=lane,
         sample=lane, bounce=lane, active=lane, accum=P(axis),
-        next_flat=P(axis),
+        next_flat=P(axis), overflow=P(axis),
     )
     sharded = jax.shard_map(
         step_local, mesh=mesh,
@@ -268,6 +275,8 @@ def render_pool(pack, static, camera, n_pixels: int, spp: int,
             # steps_per_poll steps at the end-of-poll occupancy
             metrics.record_step(n_active, n_lanes, issued,
                                 weight=steps_per_poll)
+            metrics.wf_overflow_packets = int(jnp.sum(state.overflow))
+            metrics.wf_total_packets = (n_lanes // 8) * done_steps
         if progress is not None:
             progress(issued, total)
         if issued >= total and n_active == 0:

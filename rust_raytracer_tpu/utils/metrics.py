@@ -33,6 +33,13 @@ class RenderMetrics:
     wall_start: float = field(default_factory=time.time)
     stage_seconds: Dict[str, float] = field(default_factory=dict)
     bounce_alive: List[int] = field(default_factory=list)  # occupancy/step
+    # wavefront traversal capacity overflow: packets that hit a static
+    # cap (and may have dropped a real hit) / total packets traced.  The
+    # pool renderer updates these every poll; emit() warns when the
+    # fraction exceeds 0.1% (the reference's octree drops nothing —
+    # octree.rs:63-116 visits every overlapped leaf).
+    wf_overflow_packets: int = 0
+    wf_total_packets: int = 0
 
     def record_step(self, n_alive: int, n_lanes: int, issued: int,
                     weight: int = 1):
@@ -60,7 +67,7 @@ class RenderMetrics:
         occ = (
             float(np.mean(self.bounce_alive)) if self.bounce_alive else 0.0
         )
-        return {
+        out = {
             "pixel_samples": total,
             "samples_issued": self.samples_issued,
             "pixel_samples_per_s": self.samples_issued / wall,
@@ -70,9 +77,24 @@ class RenderMetrics:
             "wall_s": wall,
             "stages_s": dict(self.stage_seconds),
         }
+        if self.wf_total_packets:
+            out["wf_overflow_packets"] = self.wf_overflow_packets
+            out["wf_overflow_frac"] = (
+                self.wf_overflow_packets / self.wf_total_packets
+            )
+        return out
 
     def emit(self, stream=None) -> str:
-        line = json.dumps({"render_metrics": self.summary()})
+        s = self.summary()
+        if s.get("wf_overflow_frac", 0.0) > 1e-3:
+            print(
+                "WARNING: wavefront traversal overflowed its candidate "
+                f"capacity on {s['wf_overflow_packets']} packets "
+                f"({s['wf_overflow_frac']:.2%}) — hits may be dropped; "
+                "use kernel='pallas' (exact BVH8) to verify",
+                file=stream,
+            )
+        line = json.dumps({"render_metrics": s})
         print(line, file=stream)
         return line
 

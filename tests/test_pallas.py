@@ -255,3 +255,41 @@ def test_wavefront_cap_overflow(soup, monkeypatch, request):
     # most rays' closest hit lives in one of the 2 nearest clusters
     exact = np.isclose(t_wf[both], t_ref[both], rtol=2e-5, atol=1e-6)
     assert exact.mean() > 0.5
+
+
+def test_wavefront_overflow_surfaced(soup, monkeypatch, request):
+    """The production wrapper returns the capacity-overflow packet count
+    (return_overflow=True) and the pool metrics report + warn on it —
+    approximate traversal must never be silent (VERDICT r4 #6)."""
+    import io
+
+    from rust_raytracer_tpu.ops import pallas_wavefront as pwf
+    from rust_raytracer_tpu.utils.metrics import RenderMetrics
+
+    monkeypatch.setattr(pwf, "PAIRS_PER_PACKET_CAP", 2)
+    pwf._pipeline2.clear_cache()
+    pwf._pipeline.clear_cache()
+    request.addfinalizer(pwf._pipeline2.clear_cache)
+    request.addfinalizer(pwf._pipeline.clear_cache)
+
+    n = 128 * pwf.R
+    org, dirn = _rays(n, seed=7)
+    t_min = jnp.full((n,), 1e-3, jnp.float32)
+    t_max = jnp.full((n,), np.inf, jnp.float32)
+    t_wf, i_wf, n_overflow = pwf.intersect_triangles_wavefront(
+        soup, org, dirn, t_min, t_max, interpret=True, return_overflow=True
+    )
+    assert int(n_overflow) > 0
+    assert i_wf.shape == (n,)
+
+    # metrics surface it: field in summary + a warning above 0.1%
+    m = RenderMetrics(n_pixels=16, spp=1, max_depth=4)
+    m.record_step(8, 8, 4)
+    m.wf_overflow_packets = int(n_overflow)
+    m.wf_total_packets = n // 8
+    s = m.summary()
+    assert s["wf_overflow_packets"] == int(n_overflow)
+    assert s["wf_overflow_frac"] > 0
+    buf = io.StringIO()
+    m.emit(stream=buf)
+    assert "overflow" in buf.getvalue()
