@@ -118,10 +118,27 @@ def _shard_quota(shard, n_shards, total):
 
 def make_step(pack, static, camera, total: int, spp: int, seed,
               compact: bool = True, kernel: str = "auto",
-              mesh=None, axis: str = "dp"):
+              mesh=None, axis: str = "dp",
+              sort_impl: str = "multisort", scatter_cap: int = None):
     """Build the jitted pool step.  `total` = n_pixels * spp lane-jobs;
     flat job ids are pixel-major (pixel = flat // spp) so consecutive
     refills share pixels — coherent regeneration.
+
+    The step sorts lanes (dead-last compaction key) BEFORE retiring and
+    refilling: this step's retirees land in a contiguous tail, so the
+    image scatter-add only needs a `scatter_cap`-row tail window (a
+    lax.cond falls back to the full-width scatter on the rare step where
+    more lanes die than the window holds; 0 = always full width).
+    Measured on the 870k-tri bench: 262k-row scatter 24.7 ms vs 8.4 ms
+    for a 65k window — retirements per steady step are ~N/mean_path.
+    scatter_cap=None auto-sizes the window to n_lanes/4.
+
+    sort_impl: "multisort" (default; one multi-operand lax.sort carrying
+    all state columns through the sort network — no random gathers) or
+    "argsort" (argsort + gather-apply of each state array).  Both orders
+    are identical (stable on the same key); in-context on the 870k-tri
+    bench the multisort step is ~25 ms faster (the (N,3) row gathers'
+    3-wide minor axis wastes 125/128 vector lanes).
 
     With `mesh`, the returned step is shard_map'ed over the lane axis:
     state lanes sharded, ScenePack replicated, each shard issuing from
@@ -159,16 +176,60 @@ def make_step(pack, static, camera, total: int, spp: int, seed,
         still = s.active & ~ended & (bounce < max_depth)
         org = jnp.where(still[:, None], pos, s.org)
         dirn = jnp.where(still[:, None], new_dir, s.dirn)
-
-        # retire finished paths into this shard's image accumulator
         retired = s.active & ~still
-        accum = accum.at[s.pixel].add(
-            jnp.where(retired[:, None], radiance, 0.0),
-            mode="drop",
-        )
+        pixel, sample = s.pixel, s.sample
 
-        # refill dead lanes with the next un-issued (pixel, sample) jobs
-        # from this shard's quota
+        # ---- compaction sort, BEFORE retire/refill: dead lanes (incl.
+        # this step's retirees) pack into the tail; surviving lanes
+        # regain spatial coherence; the refill below then issues its
+        # pixel-major (coherent) camera rays into that same tail ----
+        if compact:
+            key = integrator._compaction_key(org, dirn, still)
+            if sort_impl == "multisort":
+                ops = lax.sort(
+                    (key, org[:, 0], org[:, 1], org[:, 2],
+                     dirn[:, 0], dirn[:, 1], dirn[:, 2],
+                     throughput[:, 0], throughput[:, 1], throughput[:, 2],
+                     radiance[:, 0], radiance[:, 1], radiance[:, 2],
+                     pixel, sample, bounce, still, retired),
+                    num_keys=1,
+                )
+                org = jnp.stack(ops[1:4], 1)
+                dirn = jnp.stack(ops[4:7], 1)
+                throughput = jnp.stack(ops[7:10], 1)
+                radiance = jnp.stack(ops[10:13], 1)
+                pixel, sample, bounce, still, retired = ops[13:]
+            else:
+                perm = jnp.argsort(key)
+                org, dirn = org[perm], dirn[perm]
+                throughput, radiance = throughput[perm], radiance[perm]
+                pixel, sample = pixel[perm], sample[perm]
+                bounce = bounce[perm]
+                still, retired = still[perm], retired[perm]
+
+        # ---- retire finished paths into this shard's accumulator ----
+        n_lanes = org.shape[0]
+        n_dead = jnp.sum((~still).astype(jnp.uint32))
+        oob = jnp.uint32(accum.shape[0])  # mode="drop" discards these
+
+        def _scatter(acc, idx_pix, ret, rad):
+            return acc.at[jnp.where(ret, idx_pix, oob)].add(
+                jnp.where(ret[:, None], rad, 0.0), mode="drop")
+
+        cap = n_lanes // 4 if scatter_cap is None else int(scatter_cap)
+        if compact and 0 < cap < n_lanes:
+            accum = lax.cond(
+                n_dead <= jnp.uint32(cap),
+                lambda acc: _scatter(acc, pixel[-cap:], retired[-cap:],
+                                     radiance[-cap:]),
+                lambda acc: _scatter(acc, pixel, retired, radiance),
+                accum,
+            )
+        else:
+            accum = _scatter(accum, pixel, retired, radiance)
+
+        # ---- refill dead lanes with the next un-issued (pixel, sample)
+        # jobs from this shard's quota ----
         dead = ~still
         rank = jnp.cumsum(dead.astype(jnp.uint32)) - 1
         new_local = next_local + rank
@@ -187,21 +248,11 @@ def make_step(pack, static, camera, total: int, spp: int, seed,
         dirn = jnp.where(iss, g_dir, dirn)
         throughput = jnp.where(iss, 1.0, throughput)
         radiance = jnp.where(iss | retired[:, None], 0.0, radiance)
-        pixel = jnp.where(issue, pix, s.pixel)
-        sample = jnp.where(issue, smp, s.sample)
+        pixel = jnp.where(issue, pix, pixel)
+        sample = jnp.where(issue, smp, sample)
         bounce = jnp.where(issue, jnp.uint32(0), bounce)
         active = still | issue
-        n_dead = jnp.sum(dead.astype(jnp.uint32))
         next_local = jnp.minimum(next_local + n_dead, quota)
-
-        if compact:
-            perm = jnp.argsort(
-                integrator._compaction_key(org, dirn, active)
-            )
-            org, dirn = org[perm], dirn[perm]
-            throughput, radiance = throughput[perm], radiance[perm]
-            pixel, sample = pixel[perm], sample[perm]
-            bounce, active = bounce[perm], active[perm]
 
         return PoolState(org=org, dirn=dirn, throughput=throughput,
                          radiance=radiance, pixel=pixel, sample=sample,
