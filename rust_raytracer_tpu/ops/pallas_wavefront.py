@@ -25,13 +25,12 @@ cornell_dragon steady-state wavefront):
                 the top_k costs ~ms (a dense cluster-level top_k was
                 measured a flat 252-324 ms regardless of k/dtype).
   A (Pallas):   per (packet, supernode slot): one (8 rays x 128
-                clusters) slab tile, then a butterfly lane compaction
-                (LSB-first bit-fixing on the cube network — conflict-free
-                for monotone routes; static jnp.roll + selects only)
+                clusters) slab tile, then an MXU-cumsum + packed
+                rank-select (_rank_select4: no cross-lane data movement)
                 emits <= KC candidate keys per block, each the global
                 cluster id (block-major rows are near-ordered at
-                supernode granularity; within a block the stable
-                compaction keeps cluster-id order).
+                supernode granularity; within a block selection keeps
+                cluster-id order).
   L2 (Pallas):  a second butterfly compaction of each packet's
                 (K1*KC-wide) candidate row -> prefix-dense slot list +
                 count (replaces a ~23 ms top_k).
@@ -273,25 +272,62 @@ def _lane_compact(valid_i, vals):
     return valid_i, vals, cnt
 
 
+def _rank_select4(valid_i, tri_ref, kc: int):
+    """Compact the set lanes of each (8, SN) mask row to a <= kc prefix of
+    local lane ids, via MXU cumsum + packed rank-select — NO cross-lane
+    data movement.
+
+    The r4 butterfly compaction cost ~32 ms/step here: its 7-stage
+    cumsum and 7-stage routing are SERIAL chains of cross-lane rolls
+    (latency-bound; reducing roll count per stage measured no gain).
+    Instead: ranks come from one (8,SN)x(SN,SN) upper-triangular matmul
+    on the MXU (exact in f32 for counts <= 128), and slot j's lane id is
+    recovered by a masked lane-reduction sum(lane+1 where rank == j+1) —
+    kc independent reductions, 4 packed per i32 word (ids are 8-bit).
+    Measured: kernel A 43.5 -> 19.9 ms, bit-identical output.
+
+    Returns (ids (8, kc) i32 local lane ids with -1 invalid,
+             cnt (8, 1) full per-row set count)."""
+    n_lane = valid_i.shape[1]
+    incl = lax.dot_general(
+        valid_i.astype(jnp.float32), tri_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    cnt = incl[:, n_lane - 1:n_lane]
+    sel = jnp.where(valid_i > 0, incl, 0)  # 1-based rank where valid
+    vv = lax.broadcasted_iota(jnp.int32, valid_i.shape, 1) + 1  # 1..SN
+    cols = []
+    for j0 in range(0, kc, 4):
+        acc = jnp.where(sel == j0 + 1, vv, 0)
+        acc |= jnp.where(sel == j0 + 2, vv, 0) << 8
+        acc |= jnp.where(sel == j0 + 3, vv, 0) << 16
+        acc |= jnp.where(sel == j0 + 4, vv, 0) << 24
+        s = jnp.sum(acc, axis=1, keepdims=True)
+        for piece in range(4):
+            cols.append((lax.shift_right_logical(s, 8 * piece) & 255) - 1)
+    return jnp.concatenate(cols, axis=1), cnt
+
+
 def _make_cull_kernel(k1: int, kc: int):
     """Kernel A of the two-level pipeline: for each packet, slab-test its
     K1 L1-selected supernode blocks (8 rays x 128 clusters per tile),
-    lane-compact the hit clusters of each block to KC slots, and emit the
+    rank-select the hit clusters of each block to KC slots, and emit the
     global cluster ids as candidate keys (the downstream compaction is
     stable, so candidates stay block-major: near-ordered at supernode
     granularity, id-ordered within a block — no gather needed to recover
     ids and no per-candidate t survives to the MT stage).
     """
     assert k1 % 8 == 0
+    assert kc % 4 == 0
 
     def kernel(sn_ref, n1_ref, snst_ref, ox, oy, oz, dx, dy, dz, tmax_ref,
-               bounds_ref, key_out, cnt_out, mrows, snrows, qrows):
+               bounds_ref, tri_ref, key_out, cnt_out, mrows, snrows):
         i0 = pl.program_id(0) * PPG
 
-        def packet_body(j, _):
-            pk = i0 + j
-            g = lax.div(pk, 128)
-            c = lax.rem(pk, 128)
+        def do_packet(j):
+            g = lax.div(i0 + j, 128)
+            c = lax.rem(i0 + j, 128)
             o_x = _lane_extract(ox[g], c)
             o_y = _lane_extract(oy[g], c)
             o_z = _lane_extract(oz[g], c)
@@ -335,29 +371,24 @@ def _make_cull_kernel(k1: int, kc: int):
                         hit = near <= far
                         anyhit = jnp.any(hit, axis=0, keepdims=True) & live
                         mrows[s8:s8 + 1, :] = anyhit.astype(jnp.int32)
-                        # value routed through the compaction: the local
-                        # cluster id (0..SN-1) within this supernode
-                        qrows[s8:s8 + 1, :] = lax.broadcasted_iota(
-                            jnp.int32, (1, SN), 1)
                         snrows[s8:s8 + 1, :] = jnp.full(
                             (1, SN), sn_base, jnp.int32)
 
-                    valid, packed, cnt8 = _lane_compact(
-                        mrows[...], qrows[...],
-                    )
-                    lane = lax.broadcasted_iota(jnp.int32, (8, SN), 1)
-                    # snrows is per-row constant, so it needs no routing:
-                    # global id = block base + compacted local id
-                    gid = snrows[...] + packed
+                    local, cnt8 = _rank_select4(mrows[...], tri_ref, kc)
+                    # snrows is per-row constant: global id = block base
+                    # + selected local id
                     key = jnp.where(
-                        (valid > 0) & (lane < kc), gid, -1,
+                        local >= 0, snrows[...][:, 0:1] + local, -1,
                     )
-                    key_out[j, batch * 8:batch * 8 + 8, :] = key[:, :kc]
+                    key_out[j, batch * 8:batch * 8 + 8, :] = key
                     cnt_out[j, batch * 8:batch * 8 + 8, :] = cnt8
 
+        def pair_body(jj, _):
+            do_packet(2 * jj)
+            do_packet(2 * jj + 1)
             return 0
 
-        lax.fori_loop(0, PPG, packet_body, 0)
+        lax.fori_loop(0, PPG // 2, pair_body, 0)
 
     return kernel
 
@@ -553,8 +584,8 @@ def _pipeline2(sn_lo, sn_hi, sn_start, sn_bounds, tri_geom, org, dirn,
                      -> per-packet near-ordered supernode slots (cheap:
                      the matrix is 78 wide, not 9918).
       A  (Pallas):   per (packet, supernode slot): one (8 x 128) slab
-                     tile, then an in-register lane compaction (static
-                     masked rolls) emits <= KC global cluster ids.
+                     tile, then an in-register rank-select (MXU cumsum +
+                     masked reductions) emits <= KC global cluster ids.
       L2 (Pallas):   stable butterfly compaction of the (n_pk, K1*KC)
                      candidate rows -> the MT kernel's fixed slot rows
                      (block-major: near-ordered at supernode granularity
@@ -631,10 +662,17 @@ def _pipeline2(sn_lo, sn_hi, sn_start, sn_bounds, tri_geom, org, dirn,
                          memory_space=pltpu.VMEM)
     bounds_spec = pl.BlockSpec(bounds.shape, lambda i: (0, 0, 0),
                                memory_space=pltpu.VMEM)
+    # upper-triangular ones for the rank-select cumsum matmul
+    tri = (lax.broadcasted_iota(jnp.int32, (SN, SN), 0)
+           <= lax.broadcasted_iota(jnp.int32, (SN, SN), 1)
+           ).astype(jnp.float32)
+    tri_spec = pl.BlockSpec((SN, SN), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
     keys, blk_cnt = pl.pallas_call(
         _make_cull_kernel(k1, KC),
         grid=(n_pk // PPG,),
-        in_specs=[sn_spec, n1_spec, snst_spec] + [fullc] * 7 + [bounds_spec],
+        in_specs=([sn_spec, n1_spec, snst_spec] + [fullc] * 7
+                  + [bounds_spec, tri_spec]),
         out_specs=[
             pl.BlockSpec((PPG, k1, KC), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -648,13 +686,13 @@ def _pipeline2(sn_lo, sn_hi, sn_start, sn_bounds, tri_geom, org, dirn,
         scratch_shapes=[
             pltpu.VMEM((8, SN), jnp.int32),
             pltpu.VMEM((8, SN), jnp.int32),
-            pltpu.VMEM((8, SN), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(sn_slot, n1[:, None], sn_start[:, None], *rays_g, tmax_g, bounds)
+    )(sn_slot, n1[:, None], sn_start[:, None], *rays_g, tmax_g, bounds,
+      tri)
 
     # ---- L2: compaction of the candidate matrix (Pallas butterfly) ----
     k = min(PAIRS_PER_PACKET_CAP, k1 * KC)
