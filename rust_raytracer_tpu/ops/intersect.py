@@ -701,10 +701,15 @@ def hit_attributes(pack: sp.ScenePack, org, dirn, hit: Hit) -> HitAttributes:
             denom == 0.0, 1.0, denom
         )
         t_eval = jnp.where(hit.kind == sp.PRIM_PLANE, t_pln, t_eval)
-    if pack.tri_v0.shape[0]:
-        e2_ = pack.tri_e2[prim]
-        e1_ = pack.tri_e1[prim]
-        bq = jnp.cross(org - pack.tri_v0[prim], e1_)
+    # ONE packed row gather covers every per-triangle attribute (layout:
+    # ScenePack.tri_attr); eleven narrow (N,3)/(N,2) gathers measured
+    # 32 ms/step vs 12 on the 870k-tri bench (3-wide minor axes waste
+    # 125/128 vector lanes per gathered row)
+    tri_row = pack.tri_attr[prim] if pack.tri_v0.shape[0] else None
+    if tri_row is not None:
+        e1_ = tri_row[:, 3:6]
+        e2_ = tri_row[:, 6:9]
+        bq = jnp.cross(org - tri_row[:, 0:3], e1_)
         det_ = jnp.sum(e1_ * jnp.cross(dirn, e2_), axis=-1)
         t_tri = jnp.sum(e2_ * bq, axis=-1) / jnp.where(det_ == 0.0, 1.0, det_)
         t_eval = jnp.where(hit.kind == sp.PRIM_TRIANGLE, t_tri, t_eval)
@@ -766,10 +771,10 @@ def hit_attributes(pack: sp.ScenePack, org, dirn, hit: Hit) -> HitAttributes:
         mat = jnp.where(is_p[:, 0], pack.pln_mat[prim], mat)
 
     # --- triangle attributes (reference: mesh.rs:101-163) ---
-    if pack.tri_v0.shape[0]:
-        v0 = pack.tri_v0[prim]
-        e1 = pack.tri_e1[prim]
-        e2 = pack.tri_e2[prim]
+    if tri_row is not None:
+        v0 = tri_row[:, 0:3]
+        e1 = tri_row[:, 3:6]
+        e2 = tri_row[:, 6:9]
         # recompute barycentrics for the winning triangle (differentiable)
         pvec = jnp.cross(dirn, e2)
         det = jnp.sum(e1 * pvec, axis=-1)
@@ -782,13 +787,13 @@ def hit_attributes(pack: sp.ScenePack, org, dirn, hit: Hit) -> HitAttributes:
         # interpolated shading normal — NOT renormalized, matching
         # mesh.rs:107-117 (flat shading bakes face normals into n0=n1=n2)
         t_n = (
-            pack.tri_n0[prim] * bw[:, None]
-            + pack.tri_n1[prim] * bu[:, None]
-            + pack.tri_n2[prim] * bv[:, None]
+            tri_row[:, 9:12] * bw[:, None]
+            + tri_row[:, 12:15] * bu[:, None]
+            + tri_row[:, 15:18] * bv[:, None]
         )
-        uv0 = pack.tri_uv0[prim]
-        uv1 = pack.tri_uv1[prim]
-        uv2 = pack.tri_uv2[prim]
+        uv0 = tri_row[:, 18:20]
+        uv1 = tri_row[:, 20:22]
+        uv2 = tri_row[:, 22:24]
         t_uv = uv0 * bw[:, None] + uv1 * bu[:, None] + uv2 * bv[:, None]
         # tangent frame from UV deltas (mesh.rs:129-151, thetenthplanet.de)
         duv1 = uv1 - uv0
@@ -801,7 +806,7 @@ def hit_attributes(pack: sp.ScenePack, org, dirn, hit: Hit) -> HitAttributes:
             jnp.maximum(vmath.length_squared(tan), vmath.length_squared(bit)),
             1e-20,
         )
-        has_uv = pack.tri_has_uv[prim]
+        has_uv = tri_row[:, 24] > 0.5
         t_tan = jnp.where(has_uv[:, None], tan * (-inv_max)[:, None], tangent)
         t_bit = jnp.where(has_uv[:, None], bit * inv_max[:, None], tangent)
         t_uv = jnp.where(has_uv[:, None], t_uv, 0.0)
@@ -810,7 +815,8 @@ def hit_attributes(pack: sp.ScenePack, org, dirn, hit: Hit) -> HitAttributes:
         tangent = jnp.where(is_t, t_tan, tangent)
         bitangent = jnp.where(is_t, t_bit, bitangent)
         uv = jnp.where(is_t, t_uv, uv)
-        mat = jnp.where(is_t[:, 0], pack.tri_mat[prim], mat)
+        mat = jnp.where(is_t[:, 0],
+                        tri_row[:, 26].astype(jnp.int32), mat)
 
     # --- volume attributes (reference: volume.rs:56-66: arbitrary
     #     normal/uv; isotropic ignores them) ---

@@ -445,6 +445,29 @@ class _Compiler:
         return [(kind_map[kind], idx)]
 
 
+def _tri_attr_rows(v0, e1, e2, n0, n1, n2, uv0, uv1, uv2, has_uv,
+                   hit_back, tmat):
+    """Pack the per-triangle attribute columns into (T, 32) rows (layout
+    documented at ScenePack.tri_attr) so hit_attributes pays one row
+    gather per lane."""
+    nt = np.asarray(v0).shape[0]
+    rows = np.zeros((nt, 32), np.float64)
+    if nt:
+        rows[:, 0:3] = v0
+        rows[:, 3:6] = e1
+        rows[:, 6:9] = e2
+        rows[:, 9:12] = n0
+        rows[:, 12:15] = n1
+        rows[:, 15:18] = n2
+        rows[:, 18:20] = uv0
+        rows[:, 20:22] = uv1
+        rows[:, 22:24] = uv2
+        rows[:, 24] = np.asarray(has_uv, np.float64)
+        rows[:, 25] = np.asarray(hit_back, np.float64)
+        rows[:, 26] = np.asarray(tmat, np.float64)
+    return rows
+
+
 def compile_scene(scene: graph.SceneDef, dtype=jnp.float32):
     """Compile a host scene graph into (ScenePack, SceneStatic)."""
     np_dtype = np.dtype(dtype.dtype if hasattr(dtype, "dtype") else dtype)
@@ -690,6 +713,8 @@ def compile_scene(scene: graph.SceneDef, dtype=jnp.float32):
         tri_n0=f(n0), tri_n1=f(n1), tri_n2=f(n2),
         tri_uv0=f(uv0), tri_uv1=f(uv1), tri_uv2=f(uv2),
         tri_has_uv=b(has_uv), tri_hit_back=b(hit_back), tri_mat=i(tmat),
+        tri_attr=f(_tri_attr_rows(v0, e1, e2, n0, n1, n2, uv0, uv1, uv2,
+                                  has_uv, hit_back, tmat)),
         bvh_min=f(bvh_min), bvh_max=f(bvh_max),
         bvh_hit_link=i(bvh_hit), bvh_miss_link=i(bvh_miss),
         bvh_leaf_start=i(bvh_leaf),

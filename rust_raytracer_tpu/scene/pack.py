@@ -104,6 +104,18 @@ class ScenePack:
     tri_has_uv: Any    # (T,) bool
     tri_hit_back: Any  # (T,) bool
     tri_mat: Any       # (T,) int32
+    # packed per-triangle attribute rows — the SAME data as the eleven
+    # narrow tri_* arrays above, laid out as one (T, 32) float table so
+    # hit_attributes needs ONE row gather per lane instead of eleven
+    # ((N,3) row gathers occupy 3 of 128 vector lanes; the narrow-gather
+    # version measured 32 ms/step vs 12 for the packed row on the 870k-tri
+    # bench).  Columns: v0(0:3) e1(3:6) e2(6:9) n0(9:12) n1(12:15)
+    # n2(15:18) uv0(18:20) uv1(20:22) uv2(22:24) has_uv(24) hit_back(25)
+    # mat(26).  Like tri_geom, this is a compiled mirror: under jax.grad
+    # the triangle-geometry gradient of the hit record flows to THIS
+    # table (the narrow arrays keep their gradients through every other
+    # consumer, e.g. NEE pdfs and the jnp traversal oracle).
+    tri_attr: Any      # (T, 32) float
 
     # --- flat threaded BVH over all triangles (replaces per-mesh octrees +
     #     scene BVH nodes, reference: object/mesh/octree.rs, object/bvh.rs).
@@ -223,6 +235,7 @@ def empty_pack(dtype=jnp.float32) -> ScenePack:
         tri_uv0=_empty((0, 2), dtype), tri_uv1=_empty((0, 2), dtype),
         tri_uv2=_empty((0, 2), dtype), tri_has_uv=_empty((0,), jnp.bool_),
         tri_hit_back=_empty((0,), jnp.bool_), tri_mat=_empty((0,), i32),
+        tri_attr=_empty((0, 32), dtype),
         bvh_min=_empty((0, 3), dtype), bvh_max=_empty((0, 3), dtype),
         bvh_hit_link=_empty((0,), i32), bvh_miss_link=_empty((0,), i32),
         bvh_leaf_start=_empty((0,), i32),
