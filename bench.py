@@ -40,16 +40,24 @@ import numpy as np
 BASELINE_PIXEL_SAMPLES_PER_S = 0.59e6  # BASELINE.md cornell_dragon
 
 
-def bench_backward(pack, static, camera, n_lanes=1 << 15, depth=20):
+def bench_backward(pack, static, camera, n_lanes=1 << 15, depth=20,
+                   remat=None):
     """One-sample-per-lane differentiable render step: d(loss)/d(pack)
     for an L2 loss against a target image patch.  Returns
-    (pixel-samples/s, rays/s) for the fused forward+backward step."""
+    (pixel-samples/s, rays/s) for the fused forward+backward step.
+
+    remat: integrator.trace residual policy — default "none" (save every
+    bounce's residuals; fastest, measured 98k vs 79k for "hits" at 2^15
+    lanes) with automatic fallback to "hits" if the save-all program
+    fails to fit."""
     import jax
     import jax.numpy as jnp
 
     from rust_raytracer_tpu.core import rng as vrng
     from rust_raytracer_tpu.render import integrator
 
+    if remat is None:
+        remat = os.environ.get("RRT_BENCH_BWD_REMAT", "none")
     w = np.uint32(camera.image_width)
     px = jnp.asarray(np.arange(n_lanes) % camera.image_width, jnp.uint32)
     py = jnp.asarray(
@@ -59,17 +67,37 @@ def bench_backward(pack, static, camera, n_lanes=1 << 15, depth=20):
     sample = jnp.zeros((n_lanes,), jnp.uint32)
     target = jnp.zeros((n_lanes, 3), jnp.float32)
 
-    def loss_fn(pack, seed):
-        ctx = vrng.Ctx(pixel=py * w + px, sample=sample,
-                       bounce=jnp.uint32(0), seed=seed)
-        org, dirn = camera.generate_rays(px, py, sample, ctx, jnp.float32)
-        rad = integrator.trace(pack, static, org, dirn, ctx, depth, 0.25,
-                               differentiable=True)
-        return jnp.mean((rad - target) ** 2)
+    def make_grad(remat_mode):
+        def loss_fn(pack, seed):
+            ctx = vrng.Ctx(pixel=py * w + px, sample=sample,
+                           bounce=jnp.uint32(0), seed=seed)
+            org, dirn = camera.generate_rays(px, py, sample, ctx,
+                                             jnp.float32)
+            # compact=False: the compaction sort's gathers differentiate
+            # to narrow row scatters, which cost more in the backward
+            # sweep than the packet coherence buys the forward (91.5 vs
+            # 112.9k ps/s measured); the estimator is identical either
+            # way (counter-based RNG)
+            rad = integrator.trace(pack, static, org, dirn, ctx, depth,
+                                   0.25, compact=False,
+                                   differentiable=True,
+                                   remat=remat_mode)
+            return jnp.mean((rad - target) ** 2)
 
-    grad_fn = jax.jit(jax.grad(loss_fn, allow_int=True))
-    g = grad_fn(pack, jnp.uint32(0))  # compile
-    jax.block_until_ready(jax.tree_util.tree_leaves(g)[0])
+        return jax.jit(jax.grad(loss_fn, allow_int=True))
+
+    try:
+        grad_fn = make_grad(remat)
+        g = grad_fn(pack, jnp.uint32(0))  # compile
+        jax.block_until_ready(jax.tree_util.tree_leaves(g)[0])
+    except Exception:  # noqa: BLE001 — e.g. save-all residuals OOM
+        if remat == "hits":
+            raise
+        print(f"bench_backward: remat={remat} failed, retrying with "
+              "remat=hits", file=sys.stderr)
+        grad_fn = make_grad("hits")
+        g = grad_fn(pack, jnp.uint32(0))
+        jax.block_until_ready(jax.tree_util.tree_leaves(g)[0])
     reps = 3
     t0 = time.time()
     for r in range(reps):
