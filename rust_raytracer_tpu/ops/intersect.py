@@ -118,6 +118,40 @@ def intersect_spheres(pack: sp.ScenePack, org, dirn, t_min, t_max):
     # ellipsoid instances present? (static: compiler emits sph_inv only
     # when some sphere carries a non-similarity transform)
     affine = pack.sph_inv.shape[0] > 0
+
+    # Few primitives (the common case): one unrolled (N,)-shaped test per
+    # sphere.  The chunked (N, C) broadcast puts C on the minor axis —
+    # C=2 spheres occupy 2 of 128 vector lanes, measured ~3x slower than
+    # per-primitive full-lane math on the 870k-tri bench.
+    if n_s <= 16:
+        best_t = t_max
+        best_i = jnp.full(org.shape[:-1], -1, jnp.int32)
+        for si in range(n_s):
+            if affine:
+                inv = pack.sph_inv[si]
+                oc = jnp.einsum("ij,nj->ni", inv, org - pack.sph_center[si])
+                dl = jnp.einsum("ij,nj->ni", inv, dirn)
+                a = jnp.sum(dl * dl, axis=-1)
+                half_b = jnp.sum(dl * oc, axis=-1)
+                c = jnp.sum(oc * oc, axis=-1) - 1.0
+            else:
+                oc = org - pack.sph_center[si]
+                a = vmath.length_squared(dirn)
+                half_b = jnp.sum(dirn * oc, axis=-1)
+                c = jnp.sum(oc * oc, axis=-1) - pack.sph_radius[si] ** 2
+            disc = half_b * half_b - a * c
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            root1 = (-half_b - sq) / a
+            root2 = (-half_b + sq) / a
+            ok = disc >= 0.0
+            v1 = ok & (root1 > t_min) & (root1 < best_t)
+            v2 = ok & (root2 > t_min) & (root2 < best_t)
+            t = jnp.where(v1, root1, jnp.where(v2, root2, jnp.inf))
+            better = t < best_t
+            best_t = jnp.where(better, t, best_t)
+            best_i = jnp.where(better, si, best_i)
+        return best_t, best_i
+
     a_plain = vmath.length_squared(dirn)[:, None]
 
     def body(start):
@@ -193,6 +227,22 @@ def intersect_planes(pack: sp.ScenePack, org, dirn, t_min, t_max):
     n_p = pack.pln_corner.shape[0]
     if n_p == 0:
         return t_max, jnp.full(org.shape[:-1], -1, jnp.int32)
+
+    # few planes: unrolled full-lane (N,) tests (see intersect_spheres —
+    # the (N, C) chunk layout wastes 126/128 vector lanes at C=2)
+    if n_p <= 16:
+        best_t = t_max
+        best_i = jnp.full(org.shape[:-1], -1, jnp.int32)
+        for pi in range(n_p):
+            t, _, _ = plane_hit(
+                org, dirn, pack.pln_corner[pi], pack.pln_dual_u[pi],
+                pack.pln_dual_v[pi], pack.pln_normal[pi],
+                pack.pln_backface[pi], t_min, best_t,
+            )
+            better = t < best_t
+            best_t = jnp.where(better, t, best_t)
+            best_i = jnp.where(better, pi, best_i)
+        return best_t, best_i
 
     def body(start):
         idx = start + jnp.arange(_chunk_size(n_p), dtype=jnp.int32)
@@ -669,18 +719,32 @@ def hit_attributes(pack: sp.ScenePack, org, dirn, hit: Hit) -> HitAttributes:
     t_eval = jnp.where(env | ~jnp.isfinite(hit_t_detached), 1.0, hit_t_detached)
 
     # --- differentiable t refinement per primitive kind ---
+    # The sphere/plane tables are packed into one row table IN-JIT (they
+    # are small, so the concat is free and XLA folds it) and gathered
+    # once per lane: separate narrow (N,3) gathers waste 125/128 vector
+    # lanes per row, and because the concat happens inside the trace,
+    # gradients still flow to the CANONICAL narrow arrays (unlike the
+    # big triangle table, which is packed at scene-compile time).
     sph_affine = pack.sph_inv.shape[0] > 0
+    sph_row = None
     if pack.sph_center.shape[0]:
-        sc_ = pack.sph_center[prim]
+        ns = pack.sph_center.shape[0]
+        cols = [pack.sph_center, pack.sph_radius[:, None],
+                pack.sph_mat.astype(dtype)[:, None]]
         if sph_affine:
-            inv_ = pack.sph_inv[prim]
+            cols += [pack.sph_inv.reshape(ns, 9),
+                     pack.sph_fwd.reshape(ns, 9)]
+        sph_row = jnp.concatenate(cols, axis=1)[prim]  # (N, 5|23)
+        sc_ = sph_row[:, 0:3]
+        if sph_affine:
+            inv_ = sph_row[:, 5:14].reshape(n, 3, 3)
             oc = jnp.einsum("nij,nj->ni", inv_, org - sc_)
             dl = jnp.einsum("nij,nj->ni", inv_, dirn)
             a_ = vmath.length_squared(dl)
             half_b = vmath.dot(dl, oc)
             c_ = vmath.length_squared(oc) - 1.0
         else:
-            sr_ = pack.sph_radius[prim]
+            sr_ = sph_row[:, 3]
             oc = org - sc_
             dl = dirn
             a_ = vmath.length_squared(dirn)
@@ -694,10 +758,15 @@ def hit_attributes(pack: sp.ScenePack, org, dirn, hit: Hit) -> HitAttributes:
             jnp.abs(r1 - t_eval) <= jnp.abs(r2 - t_eval), r1, r2
         )
         t_eval = jnp.where(hit.kind == sp.PRIM_SPHERE, t_sph, t_eval)
+    pln_row = None
     if pack.pln_corner.shape[0]:
-        nrm_ = pack.pln_normal[prim]
+        pln_row = jnp.concatenate(
+            [pack.pln_corner, pack.pln_dual_u, pack.pln_dual_v,
+             pack.pln_normal, pack.pln_uhalf, pack.pln_vhalf,
+             pack.pln_mat.astype(dtype)[:, None]], axis=1)[prim]  # (N, 19)
+        nrm_ = pln_row[:, 9:12]
         denom = vmath.dot(nrm_, dirn)
-        t_pln = vmath.dot(nrm_, pack.pln_corner[prim] - org) / jnp.where(
+        t_pln = vmath.dot(nrm_, pln_row[:, 0:3] - org) / jnp.where(
             denom == 0.0, 1.0, denom
         )
         t_eval = jnp.where(hit.kind == sp.PRIM_PLANE, t_pln, t_eval)
@@ -724,21 +793,22 @@ def hit_attributes(pack: sp.ScenePack, org, dirn, hit: Hit) -> HitAttributes:
     mat = jnp.zeros((n,), jnp.int32)
 
     # --- sphere attributes (reference: sphere.rs:65-94) ---
-    if pack.sph_center.shape[0]:
-        sc = pack.sph_center[prim]
+    if sph_row is not None:
+        sc = sph_row[:, 0:3]
         if sph_affine:
             # object (unit-sphere) space point: uv/tangent live there,
             # the world normal maps by the forward 3x3 — the reference's
             # Transform normal quirk (transform.rs:133); tangent frames
             # stay object-space exactly like transform.rs (which maps
             # only pos and normal back to world)
-            s_n = jnp.einsum("nij,nj->ni", pack.sph_inv[prim], pos - sc)
+            s_n = jnp.einsum("nij,nj->ni",
+                             sph_row[:, 5:14].reshape(n, 3, 3), pos - sc)
             w_n = vmath.normalize(
-                jnp.einsum("nij,nj->ni", pack.sph_fwd[prim], s_n), 1e-20
+                jnp.einsum("nij,nj->ni",
+                           sph_row[:, 14:23].reshape(n, 3, 3), s_n), 1e-20
             )
         else:
-            sr = pack.sph_radius[prim]
-            s_n = (pos - sc) / sr[:, None]
+            s_n = (pos - sc) / sph_row[:, 3:4]
             w_n = s_n
         # clips keep arccos/atan2 gradients finite at poles & garbage lanes
         theta = jnp.arccos(jnp.clip(s_n[:, 1], -1.0 + 1e-7, 1.0 - 1e-7))
@@ -752,23 +822,23 @@ def hit_attributes(pack: sp.ScenePack, org, dirn, hit: Hit) -> HitAttributes:
         tangent = jnp.where(is_s, s_tan, tangent)
         bitangent = jnp.where(is_s, s_bit, bitangent)
         uv = jnp.where(is_s, s_uv, uv)
-        mat = jnp.where(is_s[:, 0], pack.sph_mat[prim], mat)
+        mat = jnp.where(is_s[:, 0], sph_row[:, 4].astype(jnp.int32), mat)
 
     # --- plane attributes (reference: plane.rs:85-101) ---
-    if pack.pln_corner.shape[0]:
-        cor = pack.pln_corner[prim]
-        uh = pack.pln_uhalf[prim]
-        vh = pack.pln_vhalf[prim]
+    if pln_row is not None:
+        cor = pln_row[:, 0:3]
+        uh = pln_row[:, 12:15]
+        vh = pln_row[:, 15:18]
         local = pos - cor
         # dual-basis uv — exact for non-orthogonal (sheared) spans
-        pu = vmath.dot(local, pack.pln_dual_u[prim])
-        pv = vmath.dot(local, pack.pln_dual_v[prim])
+        pu = vmath.dot(local, pln_row[:, 3:6])
+        pv = vmath.dot(local, pln_row[:, 6:9])
         is_p = (hit.kind == sp.PRIM_PLANE)[:, None]
-        normal = jnp.where(is_p, pack.pln_normal[prim], normal)
+        normal = jnp.where(is_p, pln_row[:, 9:12], normal)
         tangent = jnp.where(is_p, vmath.normalize(uh, 1e-20), tangent)
         bitangent = jnp.where(is_p, vmath.normalize(vh, 1e-20), bitangent)
         uv = jnp.where(is_p, jnp.stack([pu, pv], axis=-1), uv)
-        mat = jnp.where(is_p[:, 0], pack.pln_mat[prim], mat)
+        mat = jnp.where(is_p[:, 0], pln_row[:, 18].astype(jnp.int32), mat)
 
     # --- triangle attributes (reference: mesh.rs:101-163) ---
     if tri_row is not None:
