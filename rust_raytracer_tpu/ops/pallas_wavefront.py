@@ -221,61 +221,42 @@ KC = 32    # compacted cluster slots per (packet, supernode block)
 _ID_BITS = 14  # cluster id bits embedded in the candidate key (nc < 16384)
 
 
-def _lane_cumsum(m):
-    """Inclusive prefix sum along the 128-lane axis of an (8, 128) i32
-    tile, via 7 masked-roll stages (Mosaic has no native lane scan).
-    jnp.roll (not pltpu.roll) so the same code runs under interpret/CPU;
-    Mosaic lowers it to static lane slices + concat."""
-    lane = lax.broadcasted_iota(jnp.int32, m.shape, 1)
-    s = m
-    d = 1
-    while d < m.shape[1]:
-        rolled = jnp.roll(s, d, axis=1)
-        s = s + jnp.where(lane >= d, rolled, 0)
-        d *= 2
-    return s
+def _route_radix4(packed, width: int):
+    """Radix-4 digit-fixing concentrator: route each valid element of a
+    (rows, width) tile to its packed destination.  `packed` words hold
+    (payload << 12) | (dest << 1) | valid; dest must be the compaction
+    rank for valid elements and the own lane for invalid ones.
 
-
-def _lane_compact(valid_i, vals):
-    """Stable lane compaction: route each valid lane's value to lane
-    rank(lane); lanes >= count end invalid.  valid_i is an i32 0/1 mask.
-    Returns (routed_valid_i, routed_vals, counts) with counts (rows, 1).
-
-    Method: LSB-to-MSB bit-fixing on the cube (butterfly) network —
-    stage b exchanges lanes l <-> l^b, each element crossing iff bit b of
-    (lane ^ destination) is set, destination = exclusive-prefix rank.
-    Monotone partial routes (compaction is one) are conflict-free on
-    this network (classic concentrator result; verified exhaustively in
-    .scratch — a valid element never gets displaced by an incoming one
-    unless it crosses itself).  All data movement is static jnp.roll
-    (Mosaic: lane slice + concat), selects are vector ops — no scalars.
-    """
-    n_lane = vals.shape[1]
-    lane = lax.broadcasted_iota(jnp.int32, vals.shape, 1)
-    incl = _lane_cumsum(valid_i)
-    cnt = incl[:, n_lane - 1:n_lane]
-    rank = incl - valid_i
-    dest = jnp.where(valid_i > 0, rank, lane)
+    Per stage, an element whose current base-4 digit differs from its
+    destination digit moves by (dst_d - cur_d)*b lanes; compaction
+    routes are conflict-free on this network (verified exhaustively for
+    widths 128 and 2048 against a numpy oracle in .scratch/r5_radix4).
+    Half the serial stages of the radix-2 butterfly — the stage chain is
+    latency-bound, not op-bound.  All movement is static jnp.roll
+    (Mosaic: lane slice + concat; also runs under interpret/CPU)."""
+    lane = lax.broadcasted_iota(jnp.int32, packed.shape, 1)
+    mask = width - 1
     b = 1
-
-    def partner_of(x, b):
-        # value at lane l^b: bit-b-set lanes read l-b, others read l+b
-        hi = (lane & b) != 0
-        return jnp.where(hi, jnp.roll(x, b, axis=1),
-                         jnp.roll(x, -b, axis=1))
-
-    while b < n_lane:
-        cross = ((valid_i > 0) & (((lane ^ dest) & b) != 0)).astype(
-            jnp.int32)
-        p_cross = partner_of(cross, b)
-        incoming = p_cross > 0
-        vals = jnp.where(incoming, partner_of(vals, b), vals)
-        dest = jnp.where(incoming, partner_of(dest, b), dest)
-        valid_i = jnp.where(
-            incoming, 1, jnp.where(cross > 0, 0, valid_i)
-        )
-        b *= 2
-    return valid_i, vals, cnt
+    while b < width:
+        radix = 2 if b * 4 > width else 4
+        dest_f = lax.shift_right_logical(packed, 1) & mask
+        cur_d = (lane // b) % radix
+        dst_d = (dest_f // b) % radix
+        moving = ((packed & 1) > 0) & (dst_d != cur_d)
+        out = jnp.where(moving, packed & ~1, packed)
+        for dlt in range(1, radix):
+            for sgn in (1, -1):
+                p = jnp.roll(packed, sgn * dlt * b, axis=1)
+                p_dest = lax.shift_right_logical(p, 1) & mask
+                # the partner's own stage digit, rolled with the data so
+                # wrapped lanes compare correctly (modular semantics)
+                p_cur = jnp.roll(cur_d, sgn * dlt * b, axis=1)
+                p_dst = (p_dest // b) % radix
+                take = ((p & 1) > 0) & ((p_dst - p_cur) == sgn * dlt)
+                out = jnp.where(take, p, out)
+        packed = out
+        b *= radix
+    return packed
 
 
 def _rank_select4(valid_i, tri_ref, kc: int):
@@ -399,44 +380,72 @@ def _make_cull_kernel(k1: int, kc: int):
     return kernel
 
 
-def _make_compact_kernel(width: int, k: int):
-    """Row compaction kernel: (8 packets, width) candidate keys ->
-    (8, k) prefix-dense keys + (8, 1) counts, via the same butterfly
-    lane compaction as kernel A but across the whole padded row.
-    Replaces lax.top_k over the candidate matrix (~18 ns/row/128-lanes
-    measured): stable routing keeps block-major order, which is already
-    near-to-far at supernode granularity."""
+def _make_compact_kernel(width: int, k: int, k1: int, kc: int):
+    """Block-dense candidate compaction: kernel A's output rows are k1
+    chunks of kc slots whose valid keys are a PREFIX of each chunk, so
+    per-chunk lane destinations come straight from the chunk counts —
+    no width-wide cumsum chain.  One static-selector MXU matmul
+    replicates the exclusive prefix of the clamped counts to every lane
+    (off_rep[r, l] = sum of counts of chunks before chunk(l)), then the
+    radix-4 concentrator routes each chunk prefix to its packet-dense
+    position.  6 serial stages vs the old radix-2 butterfly's 11+11
+    (measured ~10 -> ~5 ms on the 870k-tri bench)."""
 
-    def kernel(keys_ref, lim_ref, out_ref, cnt_ref):
+    shift = (width - 1).bit_length() + 1  # dest bits + valid bit
+
+    def kernel(keys_ref, cnt_ref, n1_ref, cum_ref, out_ref, cnt_out):
+        lane = lax.broadcasted_iota(jnp.int32, (8, width), 1)
+        chunk = lane // kc          # static pattern
+        pos = lane - chunk * kc
         keys = keys_ref[...]
-        lane = lax.broadcasted_iota(jnp.int32, keys.shape, 1)
-        # lanes beyond each packet's n1*KC candidate window are garbage
-        # (kernel A skips whole batches past n1): mask them out here
-        valid = ((keys >= 0) & (lane < lim_ref[...])).astype(jnp.int32)
-        routed_valid, routed, cnt = _lane_compact(valid, keys)
+        n1 = n1_ref[...]            # (8, 1)
+        valid = ((keys >= 0) & (chunk < n1)).astype(jnp.int32)
+        kidx = lax.broadcasted_iota(jnp.int32, (8, k1), 1)
+        c = jnp.where(kidx < n1, jnp.minimum(cnt_ref[...], kc), 0)
+        off_rep = lax.dot_general(
+            c.astype(jnp.float32), cum_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        total = jnp.sum(c, axis=1, keepdims=True)
+        dest = jnp.where(valid > 0, off_rep + pos, lane)
+        packed = ((jnp.where(valid > 0, keys, 0) << shift)
+                  | (dest << 1) | valid)
+        packed = _route_radix4(packed, width)
         out_ref[...] = jnp.where(
-            routed_valid[:, :k] > 0, routed[:, :k], -1
+            (packed[:, :k] & 1) > 0,
+            lax.shift_right_logical(packed[:, :k], shift), -1,
         )
-        cnt_ref[...] = cnt  # unclamped: the caller detects cap overflow
+        cnt_out[...] = total  # unclamped: the caller detects cap overflow
 
     return kernel
 
 
-def _compact_candidates(keys_flat, limits, k, interpret):
-    """(n_pk, W) keys + per-packet valid-lane limits -> (cl (n_pk,k),
-    cnt (n_pk,)) via the compaction kernel; W is padded to a power of
-    two for the butterfly."""
-    n_pk, w = keys_flat.shape
+def _compact_candidates(keys, blk_cnt, n1, k, interpret):
+    """(n_pk, k1, KC) block-prefix-dense keys + per-block counts ->
+    (cl (n_pk, k), cnt (n_pk,) unclamped) via the block-dense compaction
+    kernel; the row is padded to a power of two for the radix network."""
+    n_pk, k1, kc = keys.shape
+    w = k1 * kc
     w2 = 1 << (w - 1).bit_length()
+    keys_flat = keys.reshape(n_pk, w)
     if w2 != w:
         keys_flat = jnp.pad(keys_flat, ((0, 0), (0, w2 - w)),
                             constant_values=-1)
+    # static selector: CUM[c, l] = 1 iff chunk c precedes lane l's chunk
+    cum = (lax.broadcasted_iota(jnp.int32, (k1, w2), 0)
+           < (lax.broadcasted_iota(jnp.int32, (k1, w2), 1) // kc)
+           ).astype(jnp.float32)
     out, cnt = pl.pallas_call(
-        _make_compact_kernel(w2, k),
+        _make_compact_kernel(w2, k, k1, kc),
         grid=(n_pk // 8,),
         in_specs=[pl.BlockSpec((8, w2), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+                  pl.BlockSpec((8, k1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
                   pl.BlockSpec((8, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((k1, w2), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[
             pl.BlockSpec((8, k), lambda i: (i, 0),
@@ -452,7 +461,7 @@ def _compact_candidates(keys_flat, limits, k, interpret):
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(keys_flat, limits[:, None])
+    )(keys_flat, blk_cnt, n1[:, None], cum)
     return out, cnt[:, 0]
 
 
@@ -702,8 +711,8 @@ def _pipeline2(sn_lo, sn_hi, sn_start, sn_bounds, tri_geom, org, dirn,
 
     # ---- L2: compaction of the candidate matrix (Pallas butterfly) ----
     k = min(PAIRS_PER_PACKET_CAP, k1 * KC)
-    flat = keys.reshape(n_pk, k1 * KC)
-    top, real = _compact_candidates(flat, n1 * KC, k, interpret)
+    top, real = _compact_candidates(keys, blk_cnt[:, :, 0], n1, k,
+                                    interpret)
     cl = jnp.where(top >= 0, top, 0)
     cnt = jnp.minimum(real, k)
     n_pairs = jnp.sum(cnt, dtype=jnp.int32)

@@ -61,18 +61,29 @@ def shade(
     n = org.shape[0]
     dtype = org.dtype
     mat = attr.mat
-    mtype = pack.mat_type[mat] if pack.mat_type.shape[0] else jnp.zeros((n,), jnp.int32)
 
     unit_dir = vmath.normalize(dirn, 1e-20)
 
-    # ---- per-ray material table gathers ----
+    # ---- per-ray material table gathers: the table is packed into one
+    # row table in-jit (it is tiny, the concat folds) so six narrow (N,)
+    # gathers become one (N, 6) row gather; gradients flow to the
+    # canonical mat_* arrays through the concat ----
     if pack.mat_type.shape[0]:
-        albedo = tex.gather_values(tex_values, pack.mat_albedo_tex[mat])
-        rough = tex.gather_values(tex_values, pack.mat_rough_tex[mat])[:, 0]
-        inv_ior = pack.mat_inv_ior[mat]
-        ior = pack.mat_ior[mat]
-        normal_tex = pack.mat_normal_tex[mat]
+        mrow = jnp.concatenate(
+            [pack.mat_type.astype(dtype)[:, None],
+             pack.mat_albedo_tex.astype(dtype)[:, None],
+             pack.mat_rough_tex.astype(dtype)[:, None],
+             pack.mat_inv_ior[:, None], pack.mat_ior[:, None],
+             pack.mat_normal_tex.astype(dtype)[:, None]], axis=1)[mat]
+        mtype = mrow[:, 0].astype(jnp.int32)
+        albedo = tex.gather_values(tex_values, mrow[:, 1].astype(jnp.int32))
+        rough = tex.gather_values(tex_values,
+                                  mrow[:, 2].astype(jnp.int32))[:, 0]
+        inv_ior = mrow[:, 3]
+        ior = mrow[:, 4]
+        normal_tex = mrow[:, 5].astype(jnp.int32)
     else:
+        mtype = jnp.zeros((n,), jnp.int32)
         albedo = jnp.zeros((n, 3), dtype)
         rough = jnp.zeros((n,), dtype)
         inv_ior = jnp.ones((n,), dtype)

@@ -151,6 +151,10 @@ def make_step(pack, static, camera, total: int, spp: int, seed,
     total = int(total)
     spp_u = np.uint32(spp)
     n_shards = 1 if mesh is None else mesh.devices.size
+    if sort_impl == "multisort" and (camera.max_depth >= 256
+                                     or spp > (1 << 22)):
+        # the packed sort payload holds bounce in 8 bits, sample in 22
+        sort_impl = "argsort"
 
     def step_local(pack, s: PoolState) -> PoolState:
         if mesh is None:
@@ -186,19 +190,30 @@ def make_step(pack, static, camera, total: int, spp: int, seed,
         if compact:
             key = integrator._compaction_key(org, dirn, still)
             if sort_impl == "multisort":
+                # sample/bounce/flags ride the sort packed in one u32
+                # (sample < 2^22, bounce < 2^8): three fewer payload
+                # columns through the sort network
+                aux = ((sample << jnp.uint32(10))
+                       | (bounce << jnp.uint32(2))
+                       | (still.astype(jnp.uint32) << jnp.uint32(1))
+                       | retired.astype(jnp.uint32))
                 ops = lax.sort(
                     (key, org[:, 0], org[:, 1], org[:, 2],
                      dirn[:, 0], dirn[:, 1], dirn[:, 2],
                      throughput[:, 0], throughput[:, 1], throughput[:, 2],
                      radiance[:, 0], radiance[:, 1], radiance[:, 2],
-                     pixel, sample, bounce, still, retired),
+                     pixel, aux),
                     num_keys=1,
                 )
                 org = jnp.stack(ops[1:4], 1)
                 dirn = jnp.stack(ops[4:7], 1)
                 throughput = jnp.stack(ops[7:10], 1)
                 radiance = jnp.stack(ops[10:13], 1)
-                pixel, sample, bounce, still, retired = ops[13:]
+                pixel, aux = ops[13:]
+                sample = aux >> jnp.uint32(10)
+                bounce = (aux >> jnp.uint32(2)) & jnp.uint32(0xFF)
+                still = ((aux >> jnp.uint32(1)) & jnp.uint32(1)).astype(bool)
+                retired = (aux & jnp.uint32(1)).astype(bool)
             else:
                 perm = jnp.argsort(key)
                 org, dirn = org[perm], dirn[perm]
