@@ -77,9 +77,6 @@ GRP = 16         # slots per skip-branch group (valid slots are a prefix of
                  # each packet's row, so one scalar branch skips GRP slots;
                  # scalar branches cost ~19 ns — fewer, coarser groups win
                  # for the ~33-valid-of-160 slot rows)
-BANKS = 8        # independent best accumulators: consecutive same-packet
-                 # slots would otherwise serialize on the running-best
-                 # min chain (measured 204 ns/pair -> latency-bound)
 PAIRS_PER_PACKET_CAP = 128  # static slot capacity per packet.  Mean real
                             # pair count is ~33 on the 870k-tri benchmark;
                             # the prefix-skip makes slack slots nearly free.
@@ -106,17 +103,21 @@ def _make_mt_kernel(k: int):
     """Kernel factory: PPG packets per grid step, each with a fixed row of
     k cluster slots sorted near-to-far (valid slots a prefix of the row).
 
-    vs the r3 change-detection kernel: the packet->slot mapping is static
-    (slot j of row p belongs to packet p), so there is no per-pair packet
-    compare/flush chain; rays load once and flush once per packet, and a
-    single scalar branch per GRP slots skips the invalid tail.  Every
-    (g, column) of the output is written by exactly its own packet's
-    flush, so no initialization pass is needed.
+    The running best is a full (R, 128) TILE pair (t, id), not a reduced
+    (R, 1) column: each slot then costs one elementwise compare/min — no
+    per-slot lane reductions and no bank rotation (the r4 banked kernel
+    paid min+argmin per visit; removing them measured 49.8 -> 35.9 ms on
+    the candidate-heavy mid-render wavefront, bit-identical ids).  One
+    reduction per packet at flush recovers (closest t, lowest id at that
+    t).  A single scalar branch per GRP slots skips the invalid tail;
+    every (g, column) of the output is written by exactly its own
+    packet's flush, so no initialization pass is needed.
     """
 
     def kernel(cl_ref, cnt_ref, ox, oy, oz, dx, dy, dz, tmax_ref,
-               tri_ref, t_out, i_out, best_t, best_i):
+               tri_ref, t_out, i_out, bt_tile, bi_tile):
         i0 = pl.program_id(0) * PPG
+        lane = _lane_iota()
 
         def do_packet(j):
             pk = i0 + j
@@ -129,8 +130,8 @@ def _make_mt_kernel(k: int):
             d_y = _lane_extract(dy[g], c)
             d_z = _lane_extract(dz[g], c)
             tm = _lane_extract(tmax_ref[g], c)
-            best_t[...] = jnp.broadcast_to(tm[None], (BANKS, R, 1))
-            best_i[...] = jnp.full((BANKS, R, 1), -1, jnp.int32)
+            bt_tile[...] = jnp.broadcast_to(tm, (R, 128))
+            bi_tile[...] = jnp.full((R, 128), -1, jnp.int32)
             n_j = cnt_ref[j, 0]
 
             for grp in range(-(-k // GRP)):
@@ -173,33 +174,25 @@ def _make_mt_kernel(k: int):
                         t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
                         ok &= (u >= 0.0) & (u <= 1.0) & (w >= 0.0)
                         ok &= (u + w <= 1.0)
-                        bank = s % BANKS  # static: breaks the serial chain
-                        bt = best_t[bank]
-                        ok &= (t > T_MIN_STATIC) & (t < bt)
+                        ok &= (t > T_MIN_STATIC)
+                        bt = bt_tile[...]
                         tt = jnp.where(ok, t, BIG)
-                        new_t = jnp.min(tt, axis=1, keepdims=True)
-                        new_i = jnp.argmin(tt, axis=1).astype(
-                            jnp.int32)[:, None]
-                        better = new_t < bt
-                        best_i[bank] = jnp.where(
-                            better, cl * CLUSTER + new_i, best_i[bank]
-                        )
-                        best_t[bank] = jnp.where(better, new_t, bt)
+                        better = tt < bt
+                        bi_tile[...] = jnp.where(
+                            better, cl * CLUSTER + lane, bi_tile[...])
+                        bt_tile[...] = jnp.where(better, tt, bt)
 
-            # merge the banks (tree min with index tracking) and flush the
-            # packet's column of the output blocks
-            ts = [best_t[b] for b in range(BANKS)]
-            is_ = [best_i[b] for b in range(BANKS)]
-            while len(ts) > 1:
-                nt, ni = [], []
-                for m in range(0, len(ts), 2):
-                    take = ts[m + 1] < ts[m]
-                    nt.append(jnp.where(take, ts[m + 1], ts[m]))
-                    ni.append(jnp.where(take, is_[m + 1], is_[m]))
-                ts, is_ = nt, ni
-            onehot = _lane_iota() == c
-            t_out[g] = jnp.where(onehot, ts[0], t_out[g])
-            i_out[g] = jnp.where(onehot, is_[0], i_out[g])
+            # one reduction per packet: closest t, lowest id at that t
+            bt = bt_tile[...]
+            bi = bi_tile[...]
+            m = jnp.min(bt, axis=1, keepdims=True)
+            idm = jnp.min(
+                jnp.where((bt == m) & (bi >= 0), bi, 0x7FFFFFFF),
+                axis=1, keepdims=True)
+            idm = jnp.where(idm == 0x7FFFFFFF, -1, idm)
+            onehot = lane == c
+            t_out[g] = jnp.where(onehot, m, t_out[g])
+            i_out[g] = jnp.where(onehot, idm, i_out[g])
 
         # two packets per fori iteration: the loop tax (~350 ns/iter) is
         # a measurable share of this fixed-cost-dominated kernel
@@ -575,8 +568,8 @@ def _mt_call(cl, cnt, tri_geom, org, dirn, t_max, k, interpret):
             jax.ShapeDtypeStruct((G, R, 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((BANKS, R, 1), jnp.float32),
-            pltpu.VMEM((BANKS, R, 1), jnp.int32),
+            pltpu.VMEM((R, 128), jnp.float32),
+            pltpu.VMEM((R, 128), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024,
