@@ -20,7 +20,7 @@ Measurement discipline (r4 lesson, .scratch/PERF_NOTES.md): the TPU
 tunnel's throughput varies run-to-run by +-10-20% and any concurrent job
 can halve it, so the timed render runs RRT_BENCH_PASSES (default 2)
 times and the BEST pass is reported — a single-pass number is a coin
-flip.  spp=8 keeps the pool >=90% occupied (at 2spp the drain tail was
+flip.  spp=12 keeps the pool >=90% occupied (at 2spp the drain tail was
 a third of wall time, undercounting steady-state throughput).
 
 Baseline: the reference renders cornell_dragon 1200x1200@1000spp in ~41 min
@@ -297,7 +297,7 @@ def main():
 
     scene_name = os.environ.get("RRT_BENCH_SCENE", "cornell_dragon")
     width = int(os.environ.get("RRT_BENCH_WIDTH", "1200"))
-    spp = int(os.environ.get("RRT_BENCH_SPP", "8"))
+    spp = int(os.environ.get("RRT_BENCH_SPP", "12"))
     n_lanes = int(os.environ.get("RRT_BENCH_LANES", str(1 << 18)))
     max_depth = int(os.environ.get("RRT_BENCH_DEPTH", "20"))
     kernel = os.environ.get("RRT_BENCH_KERNEL", "auto")

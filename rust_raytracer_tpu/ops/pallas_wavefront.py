@@ -31,13 +31,16 @@ cornell_dragon steady-state wavefront):
                 cluster id (block-major rows are near-ordered at
                 supernode granularity; within a block selection keeps
                 cluster-id order).
-  L2 (Pallas):  a second butterfly compaction of each packet's
-                (K1*KC-wide) candidate row -> prefix-dense slot list +
-                count (replaces a ~23 ms top_k).
+  L2 (Pallas):  block-dense compaction of each packet's (K1*KC-wide)
+                candidate row -> prefix-dense slot list + count: chunk
+                offsets from the counts via one static-selector MXU
+                matmul, then a radix-4 digit-fixing concentrator
+                (_route_radix4) — no width-wide cumsum, no top_k.
   MT (Pallas):  fixed-layout Moller-Trumbore: slot j of row p belongs to
                 packet p, rays load/flush once per packet, one scalar
                 branch per GRP slots skips the invalid tail; one native
-                (8 x 128) tile per (packet, cluster) pair.
+                (8 x 128) tile per (packet, cluster) pair, running best
+                kept as a full tile (no per-visit reductions).
 
 `_pipeline` (dense single-level cull + top_k) remains as the fallback
 for scenes whose cluster count exceeds the key embedding (2^14).
@@ -50,14 +53,17 @@ the integrator's compaction key so 8-lane packets are coherent.
 Capacity caveats — the pipeline is APPROXIMATE under overflow.  K1
 supernode slots keep the nearest supernodes (top_k of entry-t); the KC
 within-block cap and the PAIRS_PER_PACKET_CAP truncation keep entries in
-supernode-granular near order only (the butterfly compaction is stable in
-lane order: within a block, surviving clusters are id-ordered, not
+supernode-granular near order only (the compaction is stable in lane
+order: within a block, surviving clusters are id-ordered, not
 t-ordered), so a dropped hit must hide behind a full cap of geometry
-whose SUPERNODE entered no farther.  Measured on the 870k-tri benchmark:
-~33 real pairs/packet, 23/32768 packets overflow, id agreement 0.99912
-vs the exact BVH8 walk.  Every pipeline returns the overflowing packet
-count; callers surface it (RenderMetrics wf_overflow) — set
-RRT_WF_CHECK=1 for an additional per-call debug print.
+whose SUPERNODE entered no farther.  Measured on the 870k-tri benchmark
+(8spp pool render): ~1.1% of packets touch a cap over the whole render
+(the candidate-heavy mid-render wavefronts dominate), per-bounce id
+agreement 0.9992-0.9997 vs the exact BVH8 walk, end-to-end radiance
+lane agreement 0.9997 at depth 20 (bench.py image_parity).  Every
+pipeline returns the overflowing packet count; callers surface it
+(RenderMetrics wf_overflow) — set RRT_WF_CHECK=1 for an additional
+per-call debug print.
 """
 from __future__ import annotations
 
@@ -137,6 +143,10 @@ def _make_mt_kernel(k: int):
             for grp in range(-(-k // GRP)):
                 @pl.when(grp * GRP < n_j)
                 def _(grp=grp):
+                    # group-local running best: read the scratch tiles
+                    # once per group, update in registers, write back once
+                    bt = bt_tile[...]
+                    bi = bi_tile[...]
                     for s in range(min(GRP, k - grp * GRP)):
                         slot = grp * GRP + s
                         cl = cl_ref[j, slot]
@@ -175,12 +185,12 @@ def _make_mt_kernel(k: int):
                         ok &= (u >= 0.0) & (u <= 1.0) & (w >= 0.0)
                         ok &= (u + w <= 1.0)
                         ok &= (t > T_MIN_STATIC)
-                        bt = bt_tile[...]
                         tt = jnp.where(ok, t, BIG)
                         better = tt < bt
-                        bi_tile[...] = jnp.where(
-                            better, cl * CLUSTER + lane, bi_tile[...])
-                        bt_tile[...] = jnp.where(better, tt, bt)
+                        bi = jnp.where(better, cl * CLUSTER + lane, bi)
+                        bt = jnp.where(better, tt, bt)
+                    bt_tile[...] = bt
+                    bi_tile[...] = bi
 
             # one reduction per packet: closest t, lowest id at that t
             bt = bt_tile[...]

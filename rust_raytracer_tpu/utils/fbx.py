@@ -20,6 +20,21 @@ document semantics the render pipeline needs:
 
 Returns the same `GltfScene` structure as utils/gltf.py, so
 utils/model_import.py shares one scene-assembly path for glTF and FBX.
+
+Known subset limits (validated against Blender-exported files — the
+reference's own models/test.fbx is one):
+
+  * The camera NodeAttribute `Position` is read as WORLD-space (Blender
+    writes it that way); the FBX spec makes it local to the camera
+    model node, so other exporters can misplace the camera.  Prefer
+    re-exporting with a baked camera or overriding via CLI flags.
+  * GlobalSettings unit/axis conversion is not applied (Blender's
+    default export already bakes it).
+  * Only OO (object-object) connections are walked; OP property links
+    (e.g. file-texture bindings) are ignored — materials import their
+    constant colors only.
+  * LayerElementMaterial is ignored: a multi-material mesh gets its
+    FIRST material for every polygon.
 """
 from __future__ import annotations
 
