@@ -8,6 +8,8 @@ we can parse natively:
   * .gltf / .glb — full import via utils/gltf.py: node transforms,
     cameras, PBR materials (baseColor / roughness factors + textures),
     emissive materials with invisible proxy light spheres
+  * .fbx — binary FBX via utils/fbx.py (same assembly path)
+  * .dae — COLLADA via utils/collada.py (same assembly path)
   * .obj — meshes via the OBJ parser (materials default to Glossy like
     assimp.rs:144-151's fallback; no cameras in OBJ)
 
@@ -65,7 +67,21 @@ def _gltf_material(m, importer_cache):
 def _load_gltf(path: str) -> g.SceneDef:
     from . import gltf
 
-    gs = gltf.load(path)
+    return _assemble_instances(gltf.load(path))
+
+
+def _load_dae(path: str) -> g.SceneDef:
+    """COLLADA import through utils/collada.py — same GltfScene
+    structure, same assembly rules as glTF (assimp.rs:71-178)."""
+    from . import collada
+
+    return _assemble_instances(collada.load(path))
+
+
+def _assemble_instances(gs) -> g.SceneDef:
+    """GltfScene (from the glTF or COLLADA parser) -> SceneDef: bake node
+    transforms, map materials, add proxy light spheres for emissive
+    meshes, first camera wins."""
     default_mat = g.Glossy(g.Constant((0.5, 0.5, 0.5)), g.Constant(0.0), 1.5)
 
     objects = []
@@ -189,6 +205,8 @@ def load_model(path: str) -> g.SceneDef:
         return _load_gltf(path)
     if ext == ".fbx":
         return _load_fbx(path)
+    if ext == ".dae":
+        return _load_dae(path)
     if ext == ".obj":
         mat = g.Glossy(
             g.Constant((0.8, 0.8, 0.8)), g.Constant(0.5), 1.5
@@ -199,5 +217,5 @@ def load_model(path: str) -> g.SceneDef:
         return g.SceneDef(world=world, lights=[sky], config={})
     raise NotImplementedError(
         f"model import for '{ext}' is unsupported; "
-        "supported: .gltf, .glb, .fbx, .obj"
+        "supported: .gltf, .glb, .fbx, .dae, .obj"
     )
